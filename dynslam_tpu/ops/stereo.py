@@ -1,0 +1,156 @@
+"""Dense stereo disparity — the TPU-native replacement for libelas /
+DispNet (the reference consumes their offline dumps,
+PrecomputedDepthProvider.cpp:22-75; see BASELINE config 1).
+
+Algorithm (classic semi-dense block matching, redesigned for XLA):
+  1. census transform (7x7 window -> 48-bit signature in two int32 lanes)
+  2. per-disparity Hamming cost via XOR + `lax.population_count`
+  3. box aggregation with `lax.reduce_window` (runs on the VPU; XLA fuses
+     the shift/xor/popcount chain into it)
+  4. winner-take-all over the disparity axis with parabolic subpixel
+     refinement, a uniqueness-ratio check (excluding the +-1 neighbors),
+     left-right consistency, and a 3x3 median clean-up pass.
+
+Everything is one jitted function over static shapes; the disparity loop
+is a `lax.map` over the disparity axis (bounded memory, no Python loop).
+Invalid pixels get disparity 0, which the depth converter
+(ops/depth.py) already treats as missing — same convention as the
+reference's PFM/XML readers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dynslam_tpu.config import StereoMatcherParams
+
+
+def _to_gray_f32(img: jnp.ndarray) -> jnp.ndarray:
+    if img.ndim == 3:
+        f = img.astype(jnp.float32)
+        return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    return img.astype(jnp.float32)
+
+
+def census_transform(gray: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(H, W) -> (2, H, W) int32 census signature (hi/lo bit lanes).
+
+    Bit k is set when the window pixel is darker than the center. Border
+    pixels compare against zero-padded neighbors (standard behavior).
+    """
+    h, w = gray.shape
+    offsets = [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if not (dy == 0 and dx == 0)
+    ]
+    assert len(offsets) <= 64, "census window too large for 2 int32 lanes"
+    padded = jnp.pad(gray, radius)
+    lanes = [jnp.zeros((h, w), jnp.int32), jnp.zeros((h, w), jnp.int32)]
+    for k, (dy, dx) in enumerate(offsets):
+        neigh = jax.lax.dynamic_slice(padded, (radius + dy, radius + dx), (h, w))
+        bit = (neigh < gray).astype(jnp.int32)
+        lane, pos = divmod(k, 32)
+        lanes[lane] = lanes[lane] | (bit << pos)
+    return jnp.stack(lanes)
+
+
+def _box_sum(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Sum over a (2r+1)^2 window, SAME padding."""
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (k, k), (1, 1), "SAME"
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def compute_disparity_jit(
+    left_gray: jnp.ndarray,
+    right_gray: jnp.ndarray,
+    params: StereoMatcherParams,
+) -> jnp.ndarray:
+    h, w = left_gray.shape
+    D = params.max_disparity
+    cl = census_transform(left_gray, params.census_radius)
+    cr = census_transform(right_gray, params.census_radius)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def cost_at(d):
+        # right census shifted right by d: right pixel (x - d) matches left x
+        shifted = jnp.roll(cr, d, axis=2)
+        ham = jax.lax.population_count(
+            (cl ^ shifted).astype(jnp.uint32)
+        ).astype(jnp.float32).sum(axis=0)
+        # columns x < d have no right-image counterpart
+        ham = jnp.where(col < d, 96.0, ham)
+        return _box_sum(ham, params.aggregation_radius)
+
+    costs = jax.lax.map(cost_at, jnp.arange(D))  # (D, H, W)
+
+    best_d = jnp.argmin(costs, axis=0)  # (H, W) int
+    dgrid = jnp.arange(D)[:, None, None]
+
+    def take(d_idx):
+        d_idx = jnp.clip(d_idx, 0, D - 1)
+        return jnp.take_along_axis(costs, d_idx[None], axis=0)[0]
+
+    c0 = take(best_d)
+    cm = take(best_d - 1)
+    cp = take(best_d + 1)
+
+    # parabolic subpixel: offset in [-0.5, 0.5]
+    denom = cm - 2.0 * c0 + cp
+    offset = jnp.where(
+        denom > 1e-6, 0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0
+    )
+    offset = jnp.clip(offset, -0.5, 0.5)
+    disp = best_d.astype(jnp.float32) + offset
+
+    # uniqueness: best must beat runner-up (excluding +-1 neighbors)
+    exclude = jnp.abs(dgrid - best_d[None]) <= 1
+    second = jnp.min(jnp.where(exclude, jnp.inf, costs), axis=0)
+    unique_ok = c0 <= params.uniqueness * second
+
+    # left-right consistency: cost_R(x, d) = cost_L(x + d, d)
+    def right_cost_at(args):
+        cost_plane, d = args
+        rolled = jnp.roll(cost_plane, -d, axis=1)
+        return jnp.where(col >= w - d, jnp.inf, rolled)
+
+    costs_r = jax.lax.map(right_cost_at, (costs, jnp.arange(D)))
+    best_d_r = jnp.argmin(costs_r, axis=0).astype(jnp.float32)  # (H, W)
+
+    # sample right disparity at x - disp(x)
+    xr = jnp.clip(col.astype(jnp.float32) - disp, 0, w - 1).astype(jnp.int32)
+    disp_r_at = jnp.take_along_axis(best_d_r, xr, axis=1)
+    lr_ok = jnp.abs(disp - disp_r_at) <= params.lr_max_diff
+
+    # borders where the search window ran off the image
+    in_range = (col >= D) | (best_d < col)
+    valid = unique_ok & lr_ok & in_range & (best_d > 0)
+    disp = jnp.where(valid, disp, 0.0)
+
+    # 3x3 median filter (sorting network over 9 shifted copies)
+    if params.subpixel:
+        neigh = []
+        padded = jnp.pad(disp, 1, mode="edge")
+        for dy in range(3):
+            for dx in range(3):
+                neigh.append(jax.lax.dynamic_slice(padded, (dy, dx), (h, w)))
+        stacked = jnp.stack(neigh)
+        disp = jnp.sort(stacked, axis=0)[4]
+
+    return disp.astype(jnp.float32)
+
+
+def compute_disparity(left, right, params: StereoMatcherParams | None = None):
+    """Host entry: RGB/gray uint8 or float arrays -> float32 disparity."""
+    params = params or StereoMatcherParams()
+    lg = _to_gray_f32(jnp.asarray(left))
+    rg = _to_gray_f32(jnp.asarray(right))
+    return compute_disparity_jit(lg, rg, params)
