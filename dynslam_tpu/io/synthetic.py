@@ -165,10 +165,35 @@ def render_frame(
     height: int,
     frame: int = 0,
     texture_salt: int = 0,
+    supersample: int = 2,
 ) -> dict:
     """Render one camera view. Returns dict with:
     gray (H,W) float in [0,1], depth_m (H,W) z-depth (inf = sky),
-    object_id (H,W) int32."""
+    object_id (H,W) int32.
+
+    The image is rendered `supersample`x oversampled and box-averaged —
+    without pixel-area integration, grazing-angle surfaces (the road)
+    alias badly and bias sub-pixel matching, which real cameras don't do.
+    Depth/object ids stay point-sampled at pixel centers (exact GT)."""
+    if supersample > 1:
+        s = supersample
+        # sub-pixel grid centered on the original pixel centers
+        hi_intr = Intrinsics(
+            intrinsics.fx * s, intrinsics.fy * s,
+            intrinsics.cx * s + (s - 1) / 2.0,
+            intrinsics.cy * s + (s - 1) / 2.0,
+        )
+        hi = render_frame(
+            scene, cam_to_world, hi_intr, width * s, height * s,
+            frame, texture_salt, supersample=1,
+        )
+        gray = hi["gray"].reshape(height, s, width, s).mean(axis=(1, 3))
+        lo = render_frame(
+            scene, cam_to_world, intrinsics, width, height,
+            frame, texture_salt, supersample=1,
+        )
+        return {"gray": gray, "depth_m": lo["depth_m"], "object_id": lo["object_id"]}
+
     fx, fy, cx, cy = intrinsics.as_tuple()
     u = np.arange(width, dtype=np.float64)
     v = np.arange(height, dtype=np.float64)

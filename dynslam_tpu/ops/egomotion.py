@@ -1,0 +1,154 @@
+"""Stereo egomotion estimation: vmapped RANSAC + Gauss-Newton on
+reprojection error — the TPU-native equivalent of libviso2's
+`VisualOdometryStereo::estimateMotion` (used for both camera egomotion
+and per-object motion, VisoSparseSFProvider.cpp:70-82, Track.cpp:167-209).
+
+Parameterization matches viso2: twist tr = (rx, ry, rz, tx, ty, tz) with
+R = Rx(rx) Ry(ry) Rz(rz); the estimated transform maps previous-frame
+camera coordinates to current-frame ones (X_cur = R X_prev + t), so the
+caller composes `new_pose = delta @ old_pose` (DynSlam.cpp:89-94).
+
+RANSAC is a fixed-shape computation: `ransac_iters` 3-point hypotheses are
+solved in parallel with `vmap`med Gauss-Newton (6x6 normal equations),
+inliers are counted for every hypothesis at once, and the best support set
+is refined with weighted GN over all matches. Data-dependent match counts
+are handled with validity masks, never dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dynslam_tpu.config import StereoCalibration, VisualOdometryParams
+from dynslam_tpu.utils import se3
+
+
+class MotionEstimate(NamedTuple):
+    tr: jnp.ndarray  # (6,) viso2-style twist
+    matrix: jnp.ndarray  # (4, 4) T_cur<-prev
+    inliers: jnp.ndarray  # (N,) bool
+    num_inliers: jnp.ndarray  # scalar int32
+    success: jnp.ndarray  # scalar bool
+
+
+def triangulate_prev(flow: jnp.ndarray, fx, cu, cv, baseline):
+    """Previous-frame 3D points from the stereo pair (viso2 convention):
+    d = u1p - u2p;  X = (u1p-cu) b/d;  Y = (v1p-cv) b/d;  Z = f b/d."""
+    u1p, v1p, u2p = flow[:, 4], flow[:, 5], flow[:, 6]
+    d = jnp.maximum(u1p - u2p, 1e-3)
+    X = (u1p - cu) * baseline / d
+    Y = (v1p - cv) * baseline / d
+    Z = fx * baseline / d
+    return jnp.stack([X, Y, Z], axis=-1)
+
+
+def _residuals(tr, pts_prev, flow, fx, cu, cv, baseline):
+    """Stacked reprojection residuals (N, 4): current left (u, v) and
+    current right (u, v)."""
+    R = se3.euler_to_rot(tr[0], tr[1], tr[2])
+    t = tr[3:6]
+    p = pts_prev @ R.T + t
+    z = jnp.maximum(p[:, 2], 1e-3)
+    ul = fx * p[:, 0] / z + cu
+    vl = fx * p[:, 1] / z + cv
+    ur = fx * (p[:, 0] - baseline) / z + cu
+    vr = vl
+    return jnp.stack(
+        [ul - flow[:, 0], vl - flow[:, 1], ur - flow[:, 2], vr - flow[:, 3]],
+        axis=-1,
+    )
+
+
+def _gn_solve(tr0, pts_prev, flow, weights, fx, cu, cv, baseline, iters):
+    """Damped Gauss-Newton with per-match weights (0 disables a match)."""
+
+    def resid_flat(tr):
+        return (_residuals(tr, pts_prev, flow, fx, cu, cv, baseline)
+                * weights[:, None]).reshape(-1)
+
+    def step(tr, _):
+        r = resid_flat(tr)
+        J = jax.jacfwd(resid_flat)(tr)  # (4N, 6)
+        A = J.T @ J + 1e-6 * jnp.eye(6)
+        g = J.T @ r
+        delta = jnp.linalg.solve(A, g)
+        # guard against divergence on degenerate samples
+        ok = jnp.all(jnp.isfinite(delta)) & (jnp.linalg.norm(delta) < 10.0)
+        tr_new = jnp.where(ok, tr - delta, tr)
+        return tr_new, None
+
+    tr, _ = jax.lax.scan(step, tr0, None, length=iters)
+    return tr
+
+
+@partial(jax.jit, static_argnames=("params",))
+def estimate_motion(
+    flow: jnp.ndarray,  # (N, 8) RawFlow rows
+    valid: jnp.ndarray,  # (N,) bool
+    calib_vec: jnp.ndarray,  # (4,): fx, cu, cv, baseline
+    key: jnp.ndarray,  # PRNG key for hypothesis sampling
+    initial_tr: jnp.ndarray,  # (6,) warm start
+    params: VisualOdometryParams,
+) -> MotionEstimate:
+    fx, cu, cv, baseline = calib_vec[0], calib_vec[1], calib_vec[2], calib_vec[3]
+    N = flow.shape[0]
+    pts_prev = triangulate_prev(flow, fx, cu, cv, baseline)
+    vweights = valid.astype(jnp.float32)
+    n_valid = jnp.sum(vweights)
+
+    # viso2-style column weighting: pixels near the principal column get
+    # more weight (their disparity is more reliable for translation)
+    col_w = 1.0 / (jnp.abs(flow[:, 4] - cu) / jnp.abs(cu) + 0.05)
+
+    # --- hypothesis sampling: 3 distinct valid matches per iteration -----
+    # sample with probability proportional to validity
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    keys = jax.random.split(key, params.ransac_iters)
+
+    def sample_idx(k):
+        return jax.random.categorical(k, logits, shape=(3,))
+
+    sample_ids = jax.vmap(sample_idx)(keys)  # (iters, 3)
+
+    def solve_hypothesis(ids):
+        w = jnp.zeros(N).at[ids].set(1.0) * vweights
+        tr = _gn_solve(
+            initial_tr, pts_prev, flow, w, fx, cu, cv, baseline, iters=6
+        )
+        return tr
+
+    trs = jax.vmap(solve_hypothesis)(sample_ids)  # (iters, 6)
+
+    # --- score all hypotheses ------------------------------------------
+    def count_inliers(tr):
+        r = _residuals(tr, pts_prev, flow, fx, cu, cv, baseline)
+        err2 = jnp.sum(r * r, axis=-1)
+        inl = (err2 < params.inlier_threshold_px**2 * 4.0) & valid
+        return jnp.sum(inl), inl
+
+    counts, inl_masks = jax.vmap(count_inliers)(trs)
+    best = jnp.argmax(counts)
+    best_inl = inl_masks[best]
+
+    # --- final weighted refinement on the inlier set --------------------
+    w_final = best_inl.astype(jnp.float32) * col_w
+    tr_final = _gn_solve(
+        trs[best], pts_prev, flow, w_final, fx, cu, cv, baseline,
+        iters=params.gn_iters,
+    )
+    _, final_inl = count_inliers(tr_final)
+    num_inl = jnp.sum(final_inl)
+
+    T = se3.twist_to_transform(tr_final)
+    success = (
+        (n_valid >= 6)
+        & (num_inl >= 6)
+        & jnp.all(jnp.isfinite(tr_final))
+    )
+    tr_final = jnp.where(success, tr_final, jnp.zeros(6))
+    T = jnp.where(success, T, jnp.eye(4))
+    return MotionEstimate(tr_final, T, final_inl, num_inl, success)

@@ -1,0 +1,442 @@
+"""Sparse feature detection, description, and circular stereo-temporal
+matching — the TPU-native equivalent of libviso2's matcher
+(used via `VisualOdometryStereo::process` + `getRawMatches`,
+VisoSparseSFProvider.cpp:14-68).
+
+Design: everything is fixed-shape and jitted.
+- detection: blob + corner 5x5 filters (StereoScan-style), NMS by
+  max-pooling, per-class top-k -> (K, 2) positions + class ids + validity
+- description: 16-point Sobel sampling (4x4 grid, stride 2) -> 32-dim f32
+- matching: dense descriptor distances on the MXU
+  (|a|^2 + |b|^2 - 2 a.b), masked by epipolar/flow-window constraints and
+  feature class, then a 4-image circular consistency check:
+  cur-left -> prev-left -> prev-right -> cur-right -> cur-left.
+
+The output "raw flow" rows follow the reference's RawFlow layout
+(SparseSFProvider.h:16-42): (u1c, v1c, u2c, v2c, u1p, v1p, u2p, v2p).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynslam_tpu.config import VisualOdometryParams
+
+# StereoScan / viso2-style 5x5 detection filters
+_BLOB_KERNEL = np.array(
+    [
+        [-1, -1, -1, -1, -1],
+        [-1, 1, 1, 1, -1],
+        [-1, 1, 8, 1, -1],
+        [-1, 1, 1, 1, -1],
+        [-1, -1, -1, -1, -1],
+    ],
+    dtype=np.float32,
+)
+_CORNER_KERNEL = np.array(
+    [
+        [-1, -1, 0, 1, 1],
+        [-1, -1, 0, 1, 1],
+        [0, 0, 0, 0, 0],
+        [1, 1, 0, -1, -1],
+        [1, 1, 0, -1, -1],
+    ],
+    dtype=np.float32,
+)
+_SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float32)
+_SOBEL_Y = _SOBEL_X.T.copy()
+
+#: descriptor sampling offsets: 4x4 grid, stride 2 (viso2-like sparse patch)
+_DESC_OFFSETS = [(dy, dx) for dy in (-3, -1, 1, 3) for dx in (-3, -1, 1, 3)]
+DESC_DIM = 2 * len(_DESC_OFFSETS)  # dx + dy responses
+
+
+class Features(NamedTuple):
+    """Fixed-size feature set; invalid slots have valid=False."""
+
+    pos: jnp.ndarray  # (K, 2) float32 (u, v)
+    desc: jnp.ndarray  # (K, DESC_DIM) float32
+    cls: jnp.ndarray  # (K,) int32 in [0, 4)
+    score: jnp.ndarray  # (K,)
+    valid: jnp.ndarray  # (K,) bool
+
+
+def _conv2d(img: jnp.ndarray, kernels: np.ndarray) -> jnp.ndarray:
+    """img (H, W), kernels (C, kh, kw) -> (C, H, W), SAME padding."""
+    lhs = img[None, None]
+    rhs = jnp.asarray(kernels)[:, None]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding="SAME"
+    )
+    return out[0]
+
+
+@partial(jax.jit, static_argnames=("params",))
+def detect_features(gray: jnp.ndarray, params: VisualOdometryParams) -> Features:
+    """Detect up to params.max_candidates features on a float32 gray image."""
+    h, w = gray.shape
+    K = params.max_candidates
+    per_class = K // 4
+
+    resp = _conv2d(gray, np.stack([_BLOB_KERNEL, _CORNER_KERNEL]))  # (2, H, W)
+    # 4 classes: blob max/min, corner max/min (matching viso2's 4 classes)
+    responses = jnp.stack([resp[0], -resp[0], resp[1], -resp[1]])
+
+    # exclude borders (descriptor sampling + filter support)
+    margin = 5
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (row < margin) | (row >= h - margin) | (col < margin) | (col >= w - margin)
+    responses = jnp.where(border[None], -jnp.inf, responses)
+
+    n = params.nms_radius
+    local_max = jax.lax.reduce_window(
+        responses, -jnp.inf, jax.lax.max, (1, 2 * n + 1, 2 * n + 1), (1, 1, 1), "SAME"
+    )
+    is_peak = (responses >= local_max) & (responses > params_tau(params))
+
+    masked = jnp.where(is_peak, responses, -jnp.inf).reshape(4, h * w)
+    scores, flat_idx = jax.lax.top_k(masked, per_class)  # (4, per_class)
+    yi = flat_idx // w
+    xi_ = flat_idx % w
+
+    # subpixel localization: 1D parabola through the response peak in x
+    # and y (crucial at low resolution — integer disparity would quantize
+    # triangulated depth; viso2 gets this from match.refinement=1)
+    flat_resp = responses.reshape(4, h * w)
+
+    def resp_at(dy, dx):
+        yy = jnp.clip(yi + dy, 0, h - 1)
+        xx = jnp.clip(xi_ + dx, 0, w - 1)
+        return jnp.take_along_axis(flat_resp, yy * w + xx, axis=1)
+
+    r0 = scores
+
+    def safe(r):
+        return jnp.where(jnp.isfinite(r), r, r0)
+
+    rl, rr = safe(resp_at(0, -1)), safe(resp_at(0, 1))
+    rt, rb = safe(resp_at(-1, 0)), safe(resp_at(1, 0))
+
+    def parab(minus, center, plus):
+        denom = minus - 2.0 * center + plus
+        off = jnp.where(
+            jnp.abs(denom) > 1e-6, 0.5 * (minus - plus) / denom, 0.0
+        )
+        return jnp.clip(off, -0.5, 0.5)
+
+    xs = xi_.astype(jnp.float32) + parab(rl, r0, rr)
+    ys = yi.astype(jnp.float32) + parab(rt, r0, rb)
+
+    pos = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+    cls = jnp.repeat(jnp.arange(4, dtype=jnp.int32), per_class)
+    score = scores.reshape(-1)
+    valid = jnp.isfinite(score)
+
+    # descriptors: sparse Sobel samples at the integer peak
+    sob = _conv2d(gray, np.stack([_SOBEL_X, _SOBEL_Y]))  # (2, H, W)
+    xi = xi_.reshape(-1)
+    yi = yi.reshape(-1)
+    feats = []
+    for dy, dx in _DESC_OFFSETS:
+        yy = jnp.clip(yi + dy, 0, h - 1)
+        xx = jnp.clip(xi + dx, 0, w - 1)
+        feats.append(sob[0, yy, xx])
+        feats.append(sob[1, yy, xx])
+    desc = jnp.stack(feats, axis=-1)
+
+    pos = jnp.where(valid[:, None], pos, -1e6)
+    return Features(pos, desc, cls, score, valid)
+
+
+def params_tau(params: VisualOdometryParams) -> float:
+    """Detection threshold on |filter response| (uint8-scale images)."""
+    return 25.0
+
+
+def _pairwise_dist2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distances (Ka, Kb) via one MXU matmul."""
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return a2 + b2.T - 2.0 * ab
+
+
+def _best_match(
+    fa: Features,
+    fb: Features,
+    mode: str,
+    params: VisualOdometryParams,
+) -> jnp.ndarray:
+    """For each feature in `fa`, index of its best match in `fb` under the
+    geometric constraint `mode`:
+      'stereo_l2r': b left of a on the same row (disparity > 0)
+      'stereo_r2l': b right of a on the same row
+      'flow': |a - b| within the temporal search radius
+    Returns (Ka,) int32; constraint-violating pairs get +inf cost so the
+    circular check rejects them downstream.
+    """
+    d2 = _pairwise_dist2(fa.desc, fb.desc)
+
+    du = fa.pos[:, 0:1] - fb.pos[None, :, 0]  # a.u - b.u, (Ka, Kb)
+    dv = fa.pos[:, 1:2] - fb.pos[None, :, 1]
+    if mode == "stereo_l2r":
+        ok = (jnp.abs(dv) <= params.epipolar_band_px) & (du > 0.1) & (
+            du <= params.max_disparity
+        )
+    elif mode == "stereo_r2l":
+        ok = (jnp.abs(dv) <= params.epipolar_band_px) & (du < -0.1) & (
+            du >= -params.max_disparity
+        )
+    elif mode == "flow":
+        ok = (du * du + dv * dv) <= params.flow_radius_px**2
+    else:
+        raise ValueError(mode)
+
+    ok &= fa.cls[:, None] == fb.cls[None, :]
+    ok &= fa.valid[:, None] & fb.valid[None, :]
+    cost = jnp.where(ok, d2, jnp.inf)
+    return jnp.argmin(cost, axis=1).astype(jnp.int32), jnp.isfinite(
+        jnp.min(cost, axis=1)
+    )
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def refine_stereo_disparity(
+    left_img: jnp.ndarray,
+    right_img: jnp.ndarray,
+    u_left: jnp.ndarray,
+    v_left: jnp.ndarray,
+    u_right: jnp.ndarray,
+    radius: int = 3,
+) -> jnp.ndarray:
+    """Subpixel-refine the right-image x coordinate of stereo matches by a
+    parabolic fit on patch SAD at x-shifts {-1, 0, +1} (viso2's
+    match.refinement=1 equivalent). Per-image peak interpolation alone
+    leaves a left/right phase bias that corrupts triangulated depth; this
+    measures the *relative* displacement directly."""
+    h, w = left_img.shape
+    ul = jnp.round(u_left).astype(jnp.int32)
+    vl = jnp.round(v_left).astype(jnp.int32)
+    ur = jnp.round(u_right).astype(jnp.int32)
+
+    def patch(img, uc, vc, dx_extra):
+        acc = []
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                yy = jnp.clip(vc + dy, 0, h - 1)
+                xx = jnp.clip(uc + dx + dx_extra, 0, w - 1)
+                acc.append(img[yy, xx])
+        return jnp.stack(acc, axis=-1)  # (M, P)
+
+    pl = patch(left_img, ul, vl, 0)
+    sads = []
+    for s in (-1, 0, 1):
+        pr = patch(right_img, ur, vl, s)
+        sads.append(jnp.sum(jnp.abs(pl - pr), axis=-1))
+    sm, s0, sp = sads
+    denom = sm - 2.0 * s0 + sp
+    off = jnp.where(denom > 1e-6, 0.5 * (sm - sp) / jnp.maximum(denom, 1e-6), 0.0)
+    off = jnp.clip(off, -1.0, 1.0)
+    # the SAD offset is phase-referenced to the ROUNDED left patch; add the
+    # left feature's subpixel remainder so u_left - u_right stays consistent
+    return ur.astype(jnp.float32) + off + (u_left - ul.astype(jnp.float32))
+
+
+def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img at fractional (x, y); clamped borders."""
+    h, w = img.shape
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    ax = x - x0
+    ay = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - ax) * (1 - ay)
+        + v01 * ax * (1 - ay)
+        + v10 * (1 - ax) * ay
+        + v11 * ax * ay
+    )
+
+
+@partial(jax.jit, static_argnames=("radius", "iters"))
+def refine_flow_quad(
+    cur_l: jnp.ndarray,
+    cur_r: jnp.ndarray,
+    prev_l: jnp.ndarray,
+    prev_r: jnp.ndarray,
+    flow: jnp.ndarray,
+    radius: int = 3,
+    iters: int = 3,
+) -> jnp.ndarray:
+    """Consistent-reference subpixel refinement of matched quadruplets.
+
+    The observation reference is the ROUNDED current-left pixel; its patch
+    is aligned into the current-right, previous-left, and previous-right
+    images by iterative Lucas-Kanade (bilinear sampling + gradient normal
+    equations) — unbiased where 3-point SAD parabolas are not. All four
+    coordinates then describe the *same* physical patch, so detector-phase
+    errors cancel in both disparity and temporal flow (the role of viso2's
+    match.refinement). Stereo alignments are 1-dof (x only) on the
+    reference row — the pairs are rectified. Returns refined (K, 8) flow.
+    """
+    h, w = cur_l.shape
+    ui = jnp.round(flow[:, 0]).astype(jnp.int32)
+    vi = jnp.round(flow[:, 1]).astype(jnp.int32)
+
+    offs = [
+        (float(dy), float(dx))
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+    ]
+
+    def sample_patch(img, x, y):
+        return jnp.stack(
+            [_bilinear(img, x + dx, y + dy) for dy, dx in offs], axis=-1
+        )  # (K, P)
+
+    ref = sample_patch(
+        cur_l, ui.astype(jnp.float32), vi.astype(jnp.float32)
+    )
+
+    # patch sampling offsets as arrays, for the scale dof
+    off_dy = jnp.asarray([dy for dy, dx in offs], jnp.float32)
+    off_dx = jnp.asarray([dx for dy, dx in offs], jnp.float32)
+
+    def sample_patch_scaled(img, x, y, s):
+        """Sample a patch whose offsets are scaled by (1+s) — absorbs the
+        radial-expansion field of forward motion, which otherwise biases
+        the translational estimate of large flows toward zero."""
+        xs = x[:, None] + off_dx[None, :] * (1.0 + s)[:, None]
+        ys = y[:, None] + off_dy[None, :] * (1.0 + s)[:, None]
+        return _bilinear(img, xs, ys)
+
+    def lk(img, x0, y0, solve_y: bool):
+        """Align ref into img starting at (x0, y0); returns (x, y).
+        Solves for (dx[, dy, dscale]) per match."""
+
+        def step(carry, _):
+            x, y, s = carry
+            t = sample_patch_scaled(img, x, y, s)
+            gx = (sample_patch_scaled(img, x + 0.5, y, s)
+                  - sample_patch_scaled(img, x - 0.5, y, s))
+            gy = (sample_patch_scaled(img, x, y + 0.5, s)
+                  - sample_patch_scaled(img, x, y - 0.5, s))
+            # d(patch)/d(scale) = offsets . gradient
+            gs = gx * off_dx[None, :] + gy * off_dy[None, :]
+            r = t - ref
+            if solve_y:
+                g = jnp.stack([gx, gy, gs], axis=1)  # (K, 3, P)
+                A = jnp.einsum("kip,kjp->kij", g, g) + 1e-4 * jnp.eye(3)
+                bvec = jnp.einsum("kip,kp->ki", g, r)
+                delta = -jnp.linalg.solve(A, bvec[..., None])[..., 0]
+                dx, dy, ds = delta[:, 0], delta[:, 1], delta[:, 2]
+            else:
+                dx = -jnp.sum(gx * r, -1) / (jnp.sum(gx * gx, -1) + 1e-6)
+                dy = jnp.zeros_like(dx)
+                ds = jnp.zeros_like(dx)
+            dx = jnp.clip(dx, -1.0, 1.0)
+            dy = jnp.clip(dy, -1.0, 1.0)
+            ds = jnp.clip(ds, -0.1, 0.1)
+            return (x + dx, y + dy, jnp.clip(s + ds, -0.3, 0.3)), None
+
+        s0 = jnp.zeros_like(x0)
+        (x, y, s), _ = jax.lax.scan(step, (x0, y0, s0), None, length=iters)
+        # reject divergence: stay within 1.5 px of the integer match
+        x = jnp.clip(x, x0 - 1.5, x0 + 1.5)
+        y = jnp.clip(y, y0 - 1.5, y0 + 1.5)
+        return x, y
+
+    vi_f = vi.astype(jnp.float32)
+    vp0 = jnp.round(flow[:, 5]).astype(jnp.float32)
+
+    u2c, _ = lk(cur_r, jnp.round(flow[:, 2]).astype(jnp.float32), vi_f, False)
+    u1p, v1p = lk(prev_l, jnp.round(flow[:, 4]).astype(jnp.float32), vp0, True)
+    # prev-right: x free, row fixed to the prev-left refined row (rectified)
+    u2p0 = jnp.round(flow[:, 6]).astype(jnp.float32)
+
+    def lk_x_at_row(img, x0, row):
+        def step(carry, _):
+            x = carry
+            t = sample_patch(img, x, row)
+            gx = sample_patch(img, x + 0.5, row) - sample_patch(img, x - 0.5, row)
+            r = t - ref
+            dx = -jnp.sum(gx * r, -1) / (jnp.sum(gx * gx, -1) + 1e-6)
+            return x + jnp.clip(dx, -1.0, 1.0), None
+
+        x, _ = jax.lax.scan(step, x0, None, length=iters)
+        return jnp.clip(x, x0 - 1.5, x0 + 1.5)
+
+    u2p = lk_x_at_row(prev_r, u2p0, v1p)
+
+    return jnp.stack(
+        [
+            ui.astype(jnp.float32),
+            vi_f,
+            u2c,
+            vi_f,  # rectified current pair: same row
+            u1p,
+            v1p,
+            u2p,
+            v1p,  # rectified previous pair: same row
+        ],
+        axis=-1,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def circular_match(
+    cur_left: Features,
+    cur_right: Features,
+    prev_left: Features,
+    prev_right: Features,
+    params: VisualOdometryParams,
+):
+    """4-image circular matching. Returns (flow (K, 8), valid (K,)) where
+    rows are RawFlow-ordered: u1c v1c u2c v2c u1p v1p u2p v2p."""
+    i_pl, ok1 = _best_match(cur_left, prev_left, "flow", params)
+    i_pr, ok2 = _best_match(prev_left, prev_right, "stereo_l2r", params)
+    i_cr, ok3 = _best_match(prev_right, cur_right, "flow", params)
+    i_cl, ok4 = _best_match(cur_right, cur_left, "stereo_r2l", params)
+
+    j = i_pl  # prev-left index per cur-left feature
+    k = i_pr[j]
+    l = i_cr[k]
+    m = i_cl[l]
+
+    K = cur_left.pos.shape[0]
+    idx = jnp.arange(K, dtype=jnp.int32)
+    circle_ok = m == idx
+    chain_ok = ok1 & ok2[j] & ok3[k] & ok4[l]
+
+    u1c, v1c = cur_left.pos[:, 0], cur_left.pos[:, 1]
+    u2c, v2c = cur_right.pos[l, 0], cur_right.pos[l, 1]
+    u1p, v1p = prev_left.pos[j, 0], prev_left.pos[j, 1]
+    u2p, v2p = prev_right.pos[k, 0], prev_right.pos[k, 1]
+
+    # both stereo pairs must have positive, bounded disparity
+    disp_c = u1c - u2c
+    disp_p = u1p - u2p
+    geo_ok = (
+        (disp_c > 0.1)
+        & (disp_p > 0.1)
+        & (disp_c <= params.max_disparity)
+        & (disp_p <= params.max_disparity)
+        & (jnp.abs(v1c - v2c) <= params.epipolar_band_px)
+        & (jnp.abs(v1p - v2p) <= params.epipolar_band_px)
+    )
+
+    valid = circle_ok & chain_ok & geo_ok & cur_left.valid
+    flow = jnp.stack([u1c, v1c, u2c, v2c, u1p, v1p, u2p, v2p], axis=-1)
+    flow = jnp.where(valid[:, None], flow, 0.0)
+    return flow, valid

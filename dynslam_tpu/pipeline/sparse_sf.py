@@ -1,0 +1,140 @@
+"""Sparse scene-flow provider: the reference's `SparseSFProvider` contract
+(SparseSFProvider.h:61-78) backed by the TPU feature/matching/egomotion
+kernels instead of libviso2.
+
+Stateful like `VisoSparseSFProvider` (which keeps the previous frame inside
+libviso2, VisoSparseSFProvider.h:30-32): `compute_sparse_sf` consumes the
+current stereo pair, matches against the retained previous frame, and
+estimates egomotion; `extract_motion` re-runs the RANSAC estimator on a
+masked flow subset for per-object motion (Track.cpp:167-209 call site).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynslam_tpu.config import StereoCalibration, VisualOdometryParams
+from dynslam_tpu.ops import egomotion as ego_ops
+from dynslam_tpu.ops import features as feat_ops
+
+
+class SparseSceneFlow:
+    """Result bundle: RawFlow rows (N, 8) + validity mask."""
+
+    def __init__(self, flow: np.ndarray, valid: np.ndarray):
+        self.flow = flow
+        self.valid = valid
+
+    @property
+    def matches(self) -> np.ndarray:
+        """Valid RawFlow rows only, (M, 8) — for host-side per-object
+        masking (variable length is fine on host)."""
+        return self.flow[self.valid]
+
+
+class SparseSFProvider:
+    def __init__(
+        self,
+        intrinsics_vec,  # (fx, cu, cv)
+        calib: StereoCalibration,
+        params: Optional[VisualOdometryParams] = None,
+        seed: int = 0,
+    ):
+        fx, cu, cv = intrinsics_vec
+        self.params = params or VisualOdometryParams()
+        self.calib_vec = jnp.asarray([fx, cu, cv, calib.baseline_m], jnp.float32)
+        self._prev_feats = None
+        self._latest_flow: Optional[SparseSceneFlow] = None
+        self._latest_motion: Optional[np.ndarray] = None
+        self._latest_motion_tr: Optional[np.ndarray] = None
+        self._frame_counter = 0
+        self._base_key = jax.random.PRNGKey(seed)
+
+    # -- SparseSFProvider API (SparseSFProvider.h:61-78) -----------------
+    def compute_sparse_sf(self, left_gray: np.ndarray, right_gray: np.ndarray):
+        """Process the current stereo pair; requires uint8/float gray."""
+        lg = jnp.asarray(left_gray, jnp.float32)
+        rg = jnp.asarray(right_gray, jnp.float32)
+        cur_l = feat_ops.detect_features(lg, self.params)
+        cur_r = feat_ops.detect_features(rg, self.params)
+
+        if self._prev_feats is not None:
+            prev_l, prev_r = self._prev_feats
+            prev_lg, prev_rg = self._prev_gray
+            flow, valid = feat_ops.circular_match(
+                cur_l, cur_r, prev_l, prev_r, self.params
+            )
+            # consistent-reference subpixel refinement of all 4 coords
+            flow = jnp.where(
+                valid[:, None],
+                feat_ops.refine_flow_quad(lg, rg, prev_lg, prev_rg, flow),
+                flow,
+            )
+            key = jax.random.fold_in(self._base_key, self._frame_counter)
+            est = ego_ops.estimate_motion(
+                flow, valid, self.calib_vec, key,
+                jnp.zeros(6, jnp.float32), self.params,
+            )
+            self._latest_flow = SparseSceneFlow(
+                np.asarray(flow), np.asarray(valid)
+            )
+            if bool(est.success):
+                self._latest_motion = np.asarray(est.matrix)
+                self._latest_motion_tr = np.asarray(est.tr)
+            else:
+                self._latest_motion = None
+                self._latest_motion_tr = None
+        self._prev_feats = (cur_l, cur_r)
+        self._prev_gray = (lg, rg)
+        self._frame_counter += 1
+
+    def flow_available(self) -> bool:
+        return self._latest_flow is not None
+
+    def get_flow(self) -> SparseSceneFlow:
+        assert self._latest_flow is not None
+        return self._latest_flow
+
+    def get_latest_motion(self) -> np.ndarray:
+        """4x4 T_cur<-prev; identity if estimation failed (the reference
+        logs a warning and reuses nothing, DynSlam.cpp:80-82)."""
+        if self._latest_motion is None:
+            return np.eye(4)
+        return self._latest_motion
+
+    def motion_available(self) -> bool:
+        return self._latest_motion is not None
+
+    def extract_motion(
+        self, masked_flow: np.ndarray, initial_estimate=None
+    ) -> Optional[np.ndarray]:
+        """Estimate a 6-dof twist from a masked flow subset (object motion).
+        Returns the viso2-style twist (6,) or None on failure — mirrors
+        `ExtractMotion` returning an empty vector
+        (VisoSparseSFProvider.cpp:70-82)."""
+        n = len(masked_flow)
+        if n < 6:
+            return None
+        N = self.params.max_matches
+        flow_pad = np.zeros((N, 8), np.float32)
+        take = min(n, N)
+        flow_pad[:take] = masked_flow[:take]
+        valid = np.zeros(N, bool)
+        valid[:take] = True
+        init = (
+            jnp.asarray(initial_estimate, jnp.float32)
+            if initial_estimate is not None
+            else jnp.zeros(6, jnp.float32)
+        )
+        key = jax.random.fold_in(self._base_key, 10_000_019 + self._frame_counter)
+        est = ego_ops.estimate_motion(
+            jnp.asarray(flow_pad), jnp.asarray(valid), self.calib_vec, key,
+            init, self.params,
+        )
+        if not bool(est.success):
+            return None
+        return np.asarray(est.tr)
