@@ -1,0 +1,546 @@
+"""Voxel-block TSDF map — the TPU-native equivalent of InfiniTAM's
+voxel-hashed volumetric engine (`ITMMainEngine`/`denseMapper` as used via
+InfiniTamDriver.h:79-300), including the DynSLAM fork's voxel-decay
+garbage collection and depth-based fusion weights.
+
+Architecture (TPU-first, replaces the CUDA voxel hash):
+- A fixed-capacity **struct-of-arrays block pool**: `tsdf`/`weight`/`color`
+  arrays of shape (P, 512) [8^3 voxels per block, SDF_BLOCK_SIZE parity
+  with InfiniTamDriver.h:237-250], plus per-block metadata (world block
+  coords, allocation frame, last-seen frame, validity).
+- A **frustum-local dense index cache** `grid`: an int32 volume of
+  `local_dims` block cells anchored at a per-frame origin near the camera;
+  `grid[c - origin] = pool slot`. Rebuilt each frame with ONE scatter over
+  the pool (O(P), no hash probes), it turns every block lookup in
+  allocation, integration, and raycasting into a direct dense index —
+  XLA-friendly where open-addressing hashes are not.
+- Allocation is a scatter-dedupe: candidate blocks along each depth ray's
+  truncation band are scattered into a `wanted` mask; missing ones are
+  compacted with fixed-size `jnp.nonzero` and assigned free pool slots.
+- Integration (`IntegrateIntoScene` semantics): per visible block, project
+  all 512 voxels into the depth map, running weighted TSDF average with
+  maxW cap and optional 1/z^2 depth weighting (the fork's
+  `SetFusionWeightParams`, InfiniTamDriver.h:100,138).
+- Raycasting: per-pixel sphere tracing over the local grid with
+  block-skipping steps in unallocated space, sign-change detection, and
+  linear sub-voxel interpolation; color/normal/depth/weight render modes
+  (PreviewType.h:6-8) are derived from its outputs.
+- Decay GC (`Decay`/`DecayCatchup`/`Reap`, InfiniTamDriver.h:198-235):
+  masked deletion of low-weight voxels in old-enough blocks + reclamation
+  of emptied blocks back to the free list, with the memory statistics the
+  reference logs per frame (InfiniTamDriver.h:241-250).
+
+All functions are jit-compiled with static `TsdfConfig`; every shape is
+fixed (pool capacity, local dims, per-frame allocation caps).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BLOCK = 8
+BLOCK3 = BLOCK ** 3
+
+
+@dataclass(frozen=True)
+class TsdfConfig:
+    """Static engine configuration (shapes + scene constants)."""
+
+    pool_capacity: int = 65536
+    local_dims: Tuple[int, int, int] = (128, 48, 128)
+    max_new_blocks: int = 8192
+    max_visible_blocks: int = 16384
+    voxel_size: float = 0.05
+    mu: float = 0.30
+    max_weight: float = 100.0
+    min_depth: float = 0.5
+    max_depth: float = 20.0
+    use_depth_weighting: bool = False
+    raycast_steps: int = 96
+    width: int = 1242
+    height: int = 375
+    fx: float = 707.0912
+    fy: float = 707.0912
+    cx: float = 601.8873
+    cy: float = 183.1104
+
+    @property
+    def block_size(self) -> float:
+        return self.voxel_size * BLOCK
+
+
+class TsdfState(NamedTuple):
+    """The map: a struct-of-arrays voxel-block pool (a jax pytree)."""
+
+    tsdf: jnp.ndarray  # (P, 512) f32, normalized SDF in [-1, 1]; 1 = free
+    weight: jnp.ndarray  # (P, 512) f32 accumulated fusion weight
+    color: jnp.ndarray  # (P, 512, 3) uint8
+    block_coords: jnp.ndarray  # (P, 3) int32 world block coords
+    alloc_frame: jnp.ndarray  # (P,) int32 frame the block was allocated
+    last_seen: jnp.ndarray  # (P,) int32 frame the block was last visible
+    valid: jnp.ndarray  # (P,) bool
+    #: cumulative count of blocks freed by decay (for the memory CSV)
+    decayed_blocks: jnp.ndarray  # () int32
+
+
+def create_state(cfg: TsdfConfig) -> TsdfState:
+    P = cfg.pool_capacity
+    return TsdfState(
+        tsdf=jnp.ones((P, BLOCK3), jnp.float32),
+        weight=jnp.zeros((P, BLOCK3), jnp.float32),
+        color=jnp.zeros((P, BLOCK3, 3), jnp.uint8),
+        block_coords=jnp.zeros((P, 3), jnp.int32),
+        alloc_frame=jnp.zeros((P,), jnp.int32),
+        last_seen=jnp.zeros((P,), jnp.int32),
+        valid=jnp.zeros((P,), bool),
+        decayed_blocks=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# local grid
+# ---------------------------------------------------------------------------
+
+
+def _grid_linear(cfg: TsdfConfig, local: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) local block coords -> linear cell index; out-of-window
+    coords map to an out-of-range index (scatter drops, gather clamps —
+    callers must mask)."""
+    dx, dy, dz = cfg.local_dims
+    in_win = (
+        (local[..., 0] >= 0) & (local[..., 0] < dx)
+        & (local[..., 1] >= 0) & (local[..., 1] < dy)
+        & (local[..., 2] >= 0) & (local[..., 2] < dz)
+    )
+    lin = (local[..., 0] * dy + local[..., 1]) * dz + local[..., 2]
+    return jnp.where(in_win, lin, dx * dy * dz), in_win
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def compute_origin(cfg: TsdfConfig, cam_to_world: jnp.ndarray) -> jnp.ndarray:
+    """Anchor the local window around the camera, biased along the viewing
+    direction (the map ahead matters; behind the camera doesn't)."""
+    campos = cam_to_world[:3, 3]
+    forward = cam_to_world[:3, 2]
+    dims = jnp.asarray(cfg.local_dims, jnp.float32)
+    extent = dims * cfg.block_size
+    center = campos + forward * extent * 0.35
+    origin = jnp.floor((center - extent / 2.0) / cfg.block_size)
+    return origin.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_local_grid(
+    cfg: TsdfConfig, state: TsdfState, origin: jnp.ndarray
+) -> jnp.ndarray:
+    """Scatter pool slots into the dense local index cache. One O(P)
+    scatter replaces InfiniTAM's per-lookup hash probing."""
+    dx, dy, dz = cfg.local_dims
+    n_cells = dx * dy * dz
+    local = state.block_coords - origin[None, :]
+    lin, in_win = _grid_linear(cfg, local)
+    lin = jnp.where(state.valid & in_win, lin, n_cells)
+    grid = jnp.full((n_cells + 1,), -1, jnp.int32)
+    slots = jnp.arange(cfg.pool_capacity, dtype=jnp.int32)
+    grid = grid.at[lin].set(slots, mode="drop")
+    return grid[:n_cells]
+
+
+# ---------------------------------------------------------------------------
+# allocation
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def allocate(
+    cfg: TsdfConfig,
+    state: TsdfState,
+    grid: jnp.ndarray,
+    origin: jnp.ndarray,
+    depth_m: jnp.ndarray,  # (H, W) float, 0 = invalid
+    cam_to_world: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+):
+    """Allocate blocks touched by the depth map's truncation band.
+    Returns (state, grid, stats) with stats = (n_new, n_dropped)."""
+    h, w = depth_m.shape
+    dx, dy, dz = cfg.local_dims
+    n_cells = dx * dy * dz
+
+    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    valid_px = (depth_m >= cfg.min_depth) & (depth_m <= cfg.max_depth)
+
+    # sample the band [d - mu, d + mu] along each pixel ray
+    ray_x = (uu - cfg.cx) / cfg.fx
+    ray_y = (vv - cfg.cy) / cfg.fy
+    R, t = cam_to_world[:3, :3], cam_to_world[:3, 3]
+
+    wanted = jnp.zeros((n_cells + 1,), bool)
+    n_samples = 4
+    for i in range(n_samples):
+        z = depth_m + cfg.mu * (2.0 * i / (n_samples - 1) - 1.0)
+        z = jnp.maximum(z, 0.05)
+        pcam = jnp.stack([ray_x * z, ray_y * z, z], axis=-1)
+        pw = pcam @ R.T + t
+        blk = jnp.floor(pw / cfg.block_size).astype(jnp.int32)
+        local = blk - origin[None, None, :]
+        lin, in_win = _grid_linear(cfg, local)
+        lin = jnp.where(valid_px & in_win, lin, n_cells)
+        wanted = wanted.at[lin.reshape(-1)].set(True, mode="drop")
+    wanted = wanted[:n_cells]
+
+    missing = wanted & (grid < 0)
+    (cell_ids,) = jnp.nonzero(
+        missing, size=cfg.max_new_blocks, fill_value=n_cells
+    )
+    is_new = cell_ids < n_cells
+    n_new = jnp.sum(is_new)
+
+    (free_slots,) = jnp.nonzero(
+        ~state.valid, size=cfg.max_new_blocks, fill_value=cfg.pool_capacity
+    )
+    has_free = free_slots < cfg.pool_capacity
+    usable = is_new & has_free
+    n_dropped = n_new - jnp.sum(usable)
+
+    # local coords of the new cells -> world block coords
+    lx = cell_ids // (dy * dz)
+    ly = (cell_ids // dz) % dy
+    lz = cell_ids % dz
+    new_coords = jnp.stack([lx, ly, lz], axis=-1) + origin[None, :]
+
+    slot_safe = jnp.where(usable, free_slots, cfg.pool_capacity)
+    state = state._replace(
+        valid=state.valid.at[slot_safe].set(True, mode="drop"),
+        block_coords=state.block_coords.at[slot_safe].set(
+            new_coords, mode="drop"
+        ),
+        alloc_frame=state.alloc_frame.at[slot_safe].set(frame_idx, mode="drop"),
+        last_seen=state.last_seen.at[slot_safe].set(frame_idx, mode="drop"),
+        tsdf=state.tsdf.at[slot_safe].set(1.0, mode="drop"),
+        weight=state.weight.at[slot_safe].set(0.0, mode="drop"),
+        color=state.color.at[slot_safe].set(0, mode="drop"),
+    )
+    cell_safe = jnp.where(usable, cell_ids, n_cells)
+    grid = (
+        jnp.concatenate([grid, jnp.full((1,), -1, jnp.int32)])
+        .at[cell_safe]
+        .set(free_slots.astype(jnp.int32), mode="drop")[:n_cells]
+    )
+    return state, grid, (n_new, n_dropped)
+
+
+# ---------------------------------------------------------------------------
+# integration (fusion)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def visible_blocks(
+    cfg: TsdfConfig,
+    state: TsdfState,
+    grid: jnp.ndarray,
+    origin: jnp.ndarray,
+    world_to_cam: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pool slots whose block center projects into the (margin-padded)
+    camera frustum. Returns (slots (V,), mask (V,)) fixed-size."""
+    centers = (state.block_coords.astype(jnp.float32) + 0.5) * cfg.block_size
+    pc = centers @ world_to_cam[:3, :3].T + world_to_cam[:3, 3]
+    z = pc[:, 2]
+    margin_px = BLOCK * 1.8 / jnp.maximum(z, 0.3) * cfg.fx * cfg.voxel_size
+    u = pc[:, 0] / jnp.maximum(z, 0.3) * cfg.fx + cfg.cx
+    v = pc[:, 1] / jnp.maximum(z, 0.3) * cfg.fy + cfg.cy
+    half_diag = cfg.block_size  # generous
+    in_frustum = (
+        (z > cfg.min_depth - half_diag)
+        & (z < cfg.max_depth + half_diag + cfg.mu)
+        & (u > -margin_px) & (u < cfg.width + margin_px)
+        & (v > -margin_px) & (v < cfg.height + margin_px)
+    )
+    # must also be inside the local window (lookups go through the grid)
+    local = state.block_coords - origin[None, :]
+    _, in_win = _grid_linear(cfg, local)
+    sel = state.valid & in_frustum & in_win
+    (slots,) = jnp.nonzero(sel, size=cfg.max_visible_blocks,
+                           fill_value=cfg.pool_capacity)
+    mask = slots < cfg.pool_capacity
+    return slots, mask
+
+
+_VOX_OFFSETS = None
+
+
+def _voxel_offsets() -> jnp.ndarray:
+    """(512, 3) voxel offsets within a block, idx = (x*8 + y)*8 + z."""
+    global _VOX_OFFSETS
+    if _VOX_OFFSETS is None:
+        import numpy as np
+
+        idx = np.arange(BLOCK3)
+        off = np.stack([idx // 64, (idx // 8) % 8, idx % 8], axis=-1)
+        _VOX_OFFSETS = jnp.asarray(off, jnp.int32)
+    return _VOX_OFFSETS
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def integrate(
+    cfg: TsdfConfig,
+    state: TsdfState,
+    slots: jnp.ndarray,
+    slots_mask: jnp.ndarray,
+    rgb: jnp.ndarray,  # (H, W, 3) uint8
+    depth_m: jnp.ndarray,  # (H, W) f32, 0 invalid
+    world_to_cam: jnp.ndarray,
+    frame_idx: jnp.ndarray,
+) -> TsdfState:
+    """Fuse one view into the visible blocks (IntegrateIntoScene)."""
+    V = slots.shape[0]
+    slots_c = jnp.clip(slots, 0, cfg.pool_capacity - 1)
+
+    coords = state.block_coords[slots_c]  # (V, 3)
+    vox = _voxel_offsets()  # (512, 3)
+    pw = (
+        coords[:, None, :].astype(jnp.float32) * BLOCK
+        + vox[None, :, :].astype(jnp.float32)
+        + 0.5
+    ) * cfg.voxel_size  # (V, 512, 3) voxel centers in world
+    R, t = world_to_cam[:3, :3], world_to_cam[:3, 3]
+    pc = pw @ R.T + t
+    z = pc[..., 2]
+    safe_z = jnp.maximum(z, 1e-3)
+    u = pc[..., 0] / safe_z * cfg.fx + cfg.cx
+    v = pc[..., 1] / safe_z * cfg.fy + cfg.cy
+
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cfg.width - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cfg.height - 1)
+    in_img = (
+        (u >= 0) & (u <= cfg.width - 1) & (v >= 0) & (v <= cfg.height - 1)
+        & (z > 1e-3)
+    )
+    d = depth_m[vi, ui]  # (V, 512)
+    d_ok = (d >= cfg.min_depth) & (d <= cfg.max_depth)
+
+    eta = d - z
+    update = in_img & d_ok & (eta > -cfg.mu) & slots_mask[:, None]
+    sdf_obs = jnp.clip(eta / cfg.mu, -1.0, 1.0)
+
+    if cfg.use_depth_weighting:
+        # the fork's depth-based weights: near measurements count more
+        w_obs = jnp.clip((cfg.max_depth / jnp.maximum(d, 0.5)) ** 2, 0.25, 5.0)
+    else:
+        w_obs = jnp.ones_like(d)
+    w_obs = jnp.where(update, w_obs, 0.0)
+
+    w_old = state.weight[slots_c]
+    t_old = state.tsdf[slots_c]
+    w_new = jnp.minimum(w_old + w_obs, cfg.max_weight)
+    t_new = jnp.where(
+        w_obs > 0,
+        (t_old * w_old + sdf_obs * w_obs) / jnp.maximum(w_old + w_obs, 1e-6),
+        t_old,
+    )
+
+    # color: only near the surface (|eta| < mu/4, InfiniTAM behavior)
+    c_old = state.color[slots_c].astype(jnp.float32)
+    rgb_px = rgb[vi, ui].astype(jnp.float32)  # (V, 512, 3)
+    c_upd = (update & (jnp.abs(eta) < cfg.mu * 0.25))[..., None]
+    c_new = jnp.where(
+        c_upd,
+        (c_old * w_old[..., None] + rgb_px * w_obs[..., None])
+        / jnp.maximum(w_old + w_obs, 1e-6)[..., None],
+        c_old,
+    )
+
+    slot_safe = jnp.where(slots_mask, slots, cfg.pool_capacity)
+    return state._replace(
+        tsdf=state.tsdf.at[slot_safe].set(t_new, mode="drop"),
+        weight=state.weight.at[slot_safe].set(w_new, mode="drop"),
+        color=state.color.at[slot_safe].set(
+            jnp.clip(c_new + 0.5, 0, 255).astype(jnp.uint8), mode="drop"
+        ),
+        last_seen=state.last_seen.at[slot_safe].set(frame_idx, mode="drop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# raycast
+# ---------------------------------------------------------------------------
+
+
+class Raycast(NamedTuple):
+    depth: jnp.ndarray  # (H, W) f32 z-depth, 0 = miss
+    points: jnp.ndarray  # (H, W, 3) world-frame hit points
+    color: jnp.ndarray  # (H, W, 3) uint8
+    weight: jnp.ndarray  # (H, W) f32 voxel weight at hit
+    hit: jnp.ndarray  # (H, W) bool
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def raycast(
+    cfg: TsdfConfig,
+    state: TsdfState,
+    grid: jnp.ndarray,
+    origin: jnp.ndarray,
+    cam_to_world: jnp.ndarray,
+    intrinsics: jnp.ndarray,  # (4,) fx, fy, cx, cy (free-cam renders rescale)
+    width: int | None = None,
+    height: int | None = None,
+) -> Raycast:
+    """Per-pixel sphere tracing over the local grid with nearest-voxel
+    sampling, block skipping in free space, and linear sub-step surface
+    interpolation (the visualisationEngine raycast equivalent)."""
+    w = width or cfg.width
+    h = height or cfg.height
+    dx, dy, dz = cfg.local_dims
+    n_cells = dx * dy * dz
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+
+    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    rc = jnp.stack([(uu - cx) / fx, (vv - cy) / fy, jnp.ones((h, w))], -1)
+    R, cam_pos = cam_to_world[:3, :3], cam_to_world[:3, 3]
+    rd = rc @ R.T  # world-frame direction, z-normalized (|rd| != 1)
+    rd_norm = jnp.linalg.norm(rd, axis=-1)
+
+    grid_ext = jnp.concatenate([grid, jnp.full((1,), -1, jnp.int32)])
+    tsdf_flat = state.tsdf.reshape(-1)
+    weight_flat = state.weight.reshape(-1)
+
+    def sample(pos):
+        """Nearest-voxel TSDF sample at world pos. Returns (sdf, wv, vidx);
+        unallocated space reads as sdf=1, weight=0."""
+        vox_c = jnp.floor(pos / cfg.voxel_size).astype(jnp.int32)
+        blk = jnp.floor(
+            vox_c.astype(jnp.float32) / BLOCK
+        ).astype(jnp.int32)
+        local = blk - origin
+        lin, in_win = _grid_linear(cfg, local)
+        slot = grid_ext[jnp.where(in_win, lin, n_cells)]
+        lv = vox_c - blk * BLOCK
+        vidx = (lv[..., 0] * BLOCK + lv[..., 1]) * BLOCK + lv[..., 2]
+        flat = jnp.clip(slot, 0, cfg.pool_capacity - 1) * BLOCK3 + vidx
+        ok = (slot >= 0) & in_win
+        sdf = jnp.where(ok, tsdf_flat[flat], 1.0)
+        wv = jnp.where(ok, weight_flat[flat], 0.0)
+        return sdf, wv, jnp.where(ok, flat, 0), ok
+
+    mu = cfg.mu
+    t_min = jnp.float32(cfg.min_depth * 0.6)
+    t_max = jnp.float32(cfg.max_depth * 1.05)
+
+    init = dict(
+        t=jnp.full((h, w), t_min),
+        prev_sdf=jnp.ones((h, w)),
+        prev_t=jnp.full((h, w), t_min),
+        hit_t=jnp.zeros((h, w)),
+        hit_flat=jnp.zeros((h, w), jnp.int32),
+        found=jnp.zeros((h, w), bool),
+    )
+
+    def body(i, c):
+        pos = cam_pos[None, None, :] + rd * c["t"][..., None]
+        sdf, wv, flat, alloc = sample(pos)
+        confident = alloc & (wv > 0)
+        crossing = (
+            (c["prev_sdf"] > 0.0) & (sdf <= 0.0) & confident & ~c["found"]
+            & (c["t"] > t_min)
+        )
+        # linear interpolation of the zero crossing along the ray
+        denom = c["prev_sdf"] - sdf
+        frac = jnp.where(denom > 1e-6, c["prev_sdf"] / jnp.maximum(denom, 1e-6), 0.0)
+        t_hit = c["prev_t"] + (c["t"] - c["prev_t"]) * frac
+        c["hit_t"] = jnp.where(crossing, t_hit, c["hit_t"])
+        c["hit_flat"] = jnp.where(crossing, flat, c["hit_flat"])
+        c["found"] = c["found"] | crossing
+
+        # adaptive step: sphere-trace in the band, block-skip outside it
+        step = jnp.where(
+            alloc,
+            jnp.maximum(sdf * mu * 0.9, cfg.voxel_size * 0.6),
+            mu * 0.9,
+        )
+        c["prev_sdf"] = jnp.where(confident, sdf, 1.0)
+        c["prev_t"] = c["t"]
+        c["t"] = jnp.where(c["found"], c["t"], c["t"] + step)
+        return c
+
+    out = jax.lax.fori_loop(0, cfg.raycast_steps, body, init)
+
+    hit = out["found"] & (out["hit_t"] < t_max)
+    depth = jnp.where(hit, out["hit_t"], 0.0)  # rd is z-normalized => t == z
+    points = cam_pos[None, None, :] + rd * out["hit_t"][..., None]
+    color = jnp.where(
+        hit[..., None],
+        state.color.reshape(-1, 3)[out["hit_flat"]],
+        jnp.zeros(3, jnp.uint8),
+    )
+    wgt = jnp.where(hit, weight_flat[out["hit_flat"]], 0.0)
+    return Raycast(depth=depth, points=points, color=color, weight=wgt, hit=hit)
+
+
+# ---------------------------------------------------------------------------
+# decay (voxel GC)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "force_all"))
+def decay(
+    cfg: TsdfConfig,
+    state: TsdfState,
+    frame_idx: jnp.ndarray,
+    max_decay_weight: jnp.ndarray,
+    min_decay_age: jnp.ndarray,
+    force_all: bool = False,
+):
+    """Voxel decay GC: in blocks old enough (age >= min_decay_age, or all
+    when force_all/DecayCatchup), delete voxels whose weight is in
+    (0, max_decay_weight]; blocks left fully empty are reclaimed.
+    Returns (state, n_freed_blocks)."""
+    age = frame_idx - state.alloc_frame
+    eligible = state.valid & ((age >= min_decay_age) | bool(force_all))
+
+    w = state.weight
+    kill = eligible[:, None] & (w > 0) & (w <= max_decay_weight)
+    new_w = jnp.where(kill, 0.0, w)
+    new_t = jnp.where(kill, 1.0, state.tsdf)
+
+    emptied = eligible & jnp.all(new_w <= 0.0, axis=1)
+    n_freed = jnp.sum(emptied)
+    state = state._replace(
+        weight=new_w,
+        tsdf=new_t,
+        valid=state.valid & ~emptied,
+        decayed_blocks=state.decayed_blocks + n_freed.astype(jnp.int32),
+    )
+    return state, n_freed
+
+
+# ---------------------------------------------------------------------------
+# stats
+# ---------------------------------------------------------------------------
+
+#: bytes per voxel for the memory CSV. Our storage is f32 sdf + f32 weight
+#: + 3x uint8 color = 11 B/voxel (the reference reports sizeof(ITMVoxel);
+#: we report our actual footprint, InfiniTamDriver.h:241-250 semantics).
+BYTES_PER_VOXEL = 11
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def memory_stats(cfg: TsdfConfig, state: TsdfState):
+    """(used_blocks, used_bytes, cum_decayed_blocks, saved_bytes) —
+    InfiniTamDriver.h:241-250 / GetSavedDecayMemoryBytes semantics."""
+    used = jnp.sum(state.valid)
+    block_bytes = BLOCK3 * BYTES_PER_VOXEL
+    return (
+        used,
+        used * block_bytes,
+        state.decayed_blocks,
+        state.decayed_blocks * block_bytes,
+    )
