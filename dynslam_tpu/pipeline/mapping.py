@@ -1,0 +1,278 @@
+"""MapEngine — the InfiniTamDriver equivalent: a stateful host wrapper
+around the jitted TSDF kernels with the reference driver's API surface
+(`UpdateView`, `SetPose`, `Integrate`, `PrepareNextStep`, `Decay`,
+`DecayCatchup`, `Reap`, `GetImage`, `GetFloatImage`, memory queries —
+InfiniTamDriver.h:111-284).
+
+Device state (TsdfState) lives on the accelerator across frames; only
+preview images and scalars cross back to the host.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynslam_tpu.config import (
+    DynSlamConfig,
+    Intrinsics,
+    MapParams,
+    SceneParams,
+    VoxelDecayParams,
+)
+from dynslam_tpu.ops import depth as depth_ops
+from dynslam_tpu.ops import tsdf
+
+
+class PreviewType(enum.Enum):
+    """Raycast preview modes (PreviewType.h:6-8)."""
+
+    DEPTH = "depth"
+    GRAY = "gray"
+    COLOR = "color"
+    NORMAL = "normal"
+    WEIGHT = "weight"
+    LATEST_RAYCAST = "latest_raycast"
+
+
+def _normals_from_points(points: np.ndarray, hit: np.ndarray) -> np.ndarray:
+    """Image-space normals from the raycast point map (InfiniTAM's
+    ImageNormals mode): cross product of neighbor differences."""
+    du = np.zeros_like(points)
+    dv = np.zeros_like(points)
+    du[:, 1:-1] = points[:, 2:] - points[:, :-2]
+    dv[1:-1, :] = points[2:, :] - points[:-2, :]
+    n = np.cross(dv, du)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = np.where(norm > 1e-9, n / np.maximum(norm, 1e-9), 0.0)
+    return np.where(hit[..., None], n, 0.0)
+
+
+class MapEngine:
+    """One TSDF volume + its camera pose. Instances are cheap enough to
+    create per dynamic object thanks to the shared jitted kernels (same
+    TsdfConfig => same compiled executables)."""
+
+    def __init__(
+        self,
+        cfg: tsdf.TsdfConfig,
+        decay_params: VoxelDecayParams,
+        intrinsics: Optional[Intrinsics] = None,
+    ):
+        self.cfg = cfg
+        self.decay_params = decay_params
+        self.state = tsdf.create_state(cfg)
+        intr = intrinsics or Intrinsics(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+        self.intrinsics_vec = jnp.asarray(
+            [intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32
+        )
+        #: world-to-camera pose (the reference's ITMPose convention:
+        #: SetPose receives new_pose.inverse(), DynSlam.cpp:93)
+        self.pose_w2c = jnp.eye(4, dtype=jnp.float32)
+        self.frame_idx = 0
+        self.fused_frames = 0
+
+        self._view_rgb: Optional[jnp.ndarray] = None
+        self._view_depth_m: Optional[jnp.ndarray] = None
+        self._last_raycast: Optional[tsdf.Raycast] = None
+
+    # -- view & pose ------------------------------------------------------
+    def update_view(self, rgb: np.ndarray, depth_mm: np.ndarray,
+                    bilateral: bool = False) -> None:
+        """CV->device upload + mm->m conversion (+ optional 5-pass
+        bilateral filter), viewBuilder->UpdateView semantics
+        (InfiniTamDriver.cpp:211-224)."""
+        self._view_rgb = jnp.asarray(rgb, jnp.uint8)
+        d = depth_ops.depth_m_from_mm(jnp.asarray(depth_mm, jnp.int16))
+        if bilateral:
+            d = depth_ops.bilateral_filter_depth(d)
+        self._view_depth_m = d
+
+    def set_view_device(self, rgb: jnp.ndarray, depth_m: jnp.ndarray) -> None:
+        """Direct device-array view injection (instance volumes use this —
+        no host round trip, unlike the reference's UpdateHostFromDevice
+        ping-pong, InstanceReconstructor.cpp:180-197)."""
+        self._view_rgb = rgb
+        self._view_depth_m = depth_m
+
+    def set_pose(self, world_to_cam: np.ndarray) -> None:
+        self.pose_w2c = jnp.asarray(world_to_cam, jnp.float32)
+
+    def get_pose(self) -> np.ndarray:
+        return np.asarray(self.pose_w2c)
+
+    @property
+    def cam_to_world(self) -> jnp.ndarray:
+        R = self.pose_w2c[:3, :3]
+        t = self.pose_w2c[:3, 3]
+        inv = jnp.eye(4, dtype=jnp.float32)
+        inv = inv.at[:3, :3].set(R.T)
+        inv = inv.at[:3, 3].set(-R.T @ t)
+        return inv
+
+    # -- mapping ----------------------------------------------------------
+    def integrate(self) -> None:
+        """Allocation + fusion of the current view at the current pose
+        (denseMapper->ProcessFrame, InfiniTamDriver.h:140-145)."""
+        assert self._view_depth_m is not None, "update_view first"
+        c2w = self.cam_to_world
+        origin = tsdf.compute_origin(self.cfg, c2w)
+        grid = tsdf.build_local_grid(self.cfg, self.state, origin)
+        self.state, grid, _ = tsdf.allocate(
+            self.cfg, self.state, grid, origin, self._view_depth_m, c2w,
+            jnp.int32(self.frame_idx),
+        )
+        slots, mask = tsdf.visible_blocks(
+            self.cfg, self.state, grid, origin, self.pose_w2c
+        )
+        self.state = tsdf.integrate(
+            self.cfg, self.state, slots, mask, self._view_rgb,
+            self._view_depth_m, self.pose_w2c, jnp.int32(self.frame_idx),
+        )
+        self.frame_idx += 1
+        self.fused_frames += 1
+
+    def prepare_next_step(self) -> None:
+        """Raycast from the current pose, caching the result for previews
+        (trackingController->Prepare, InfiniTamDriver.h:148-158)."""
+        self._last_raycast = self._raycast_from(self.cam_to_world)
+
+    def _raycast_from(self, cam_to_world: jnp.ndarray,
+                      width: int | None = None,
+                      height: int | None = None) -> tsdf.Raycast:
+        origin = tsdf.compute_origin(self.cfg, cam_to_world)
+        grid = tsdf.build_local_grid(self.cfg, self.state, origin)
+        return tsdf.raycast(
+            self.cfg, self.state, grid, origin, cam_to_world,
+            self.intrinsics_vec, width, height,
+        )
+
+    # -- decay / GC -------------------------------------------------------
+    def decay(self) -> int:
+        """Regular per-frame decay (InfiniTamDriver.h:198-206)."""
+        if not self.decay_params.enabled:
+            return 0
+        self.state, n = tsdf.decay(
+            self.cfg, self.state, jnp.int32(self.frame_idx),
+            jnp.float32(self.decay_params.max_decay_weight),
+            jnp.int32(self.decay_params.min_decay_age),
+        )
+        return int(n)
+
+    def decay_catchup(self) -> int:
+        """Apply all pending decay regardless of age (DecayCatchup,
+        InfiniTamDriver.h:208-216)."""
+        if not self.decay_params.enabled:
+            return 0
+        self.state, n = tsdf.decay(
+            self.cfg, self.state, jnp.int32(self.frame_idx),
+            jnp.float32(self.decay_params.max_decay_weight),
+            jnp.int32(self.decay_params.min_decay_age), force_all=True,
+        )
+        return int(n)
+
+    def reap(self, max_weight: float) -> int:
+        """Aggressive full decay with a custom weight threshold — used when
+        abandoning instance reconstructions (Track::ReapReconstruction,
+        InfiniTamDriver.h:218-235)."""
+        self.state, n = tsdf.decay(
+            self.cfg, self.state, jnp.int32(self.frame_idx),
+            jnp.float32(max_weight), jnp.int32(0), force_all=True,
+        )
+        return int(n)
+
+    def reset(self) -> None:
+        """denseMapper->ResetScene (InfiniTamDriver.h:283)."""
+        self.state = tsdf.create_state(self.cfg)
+        self.fused_frames = 0
+
+    # -- previews ---------------------------------------------------------
+    def get_raycast(self, cam_to_world: Optional[np.ndarray] = None,
+                    width: int | None = None,
+                    height: int | None = None) -> tsdf.Raycast:
+        if cam_to_world is None:
+            if self._last_raycast is None:
+                self.prepare_next_step()
+            return self._last_raycast
+        return self._raycast_from(jnp.asarray(cam_to_world, jnp.float32),
+                                  width, height)
+
+    def get_image(
+        self,
+        preview: PreviewType = PreviewType.COLOR,
+        cam_to_world: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Free-camera raycast preview renders (ITMMainEngine::GetImage,
+        InfiniTamDriver.cpp:165-186)."""
+        rc = self.get_raycast(cam_to_world)
+        hit = np.asarray(rc.hit)
+        if preview == PreviewType.COLOR:
+            return np.asarray(rc.color)
+        if preview == PreviewType.DEPTH:
+            d = np.asarray(rc.depth)
+            scaled = np.clip(d / self.cfg.max_depth, 0, 1)
+            img = (scaled * 255).astype(np.uint8)
+            return np.stack([img] * 3, -1)
+        if preview == PreviewType.WEIGHT:
+            wimg = np.asarray(rc.weight)
+            scaled = np.clip(wimg / self.cfg.max_weight, 0, 1)
+            return np.stack([(scaled * 255).astype(np.uint8)] * 3, -1)
+        if preview in (PreviewType.NORMAL, PreviewType.GRAY,
+                       PreviewType.LATEST_RAYCAST):
+            n = _normals_from_points(np.asarray(rc.points), hit)
+            if preview == PreviewType.NORMAL:
+                return ((n * 0.5 + 0.5) * 255).astype(np.uint8)
+            # gray: simple headlight shading |n . view|
+            shade = np.abs(n[..., 2])
+            img = (np.where(hit, shade, 0.0) * 255).astype(np.uint8)
+            return np.stack([img] * 3, -1)
+        raise ValueError(preview)
+
+    def get_float_image(self, cam_to_world: Optional[np.ndarray] = None) -> np.ndarray:
+        """Raycast depth in meters (GetFloatImage used by the evaluation,
+        InfiniTamDriver.cpp:188-209)."""
+        return np.asarray(self.get_raycast(cam_to_world).depth)
+
+    # -- memory telemetry (InfiniTamDriver.h:241-250) ---------------------
+    def get_used_block_count(self) -> int:
+        return int(tsdf.memory_stats(self.cfg, self.state)[0])
+
+    def get_used_memory_bytes(self) -> int:
+        return int(tsdf.memory_stats(self.cfg, self.state)[1])
+
+    def get_saved_decay_memory_bytes(self) -> int:
+        return int(tsdf.memory_stats(self.cfg, self.state)[3])
+
+    def is_decay_enabled(self) -> bool:
+        return self.decay_params.enabled
+
+
+def engine_config_from(config: DynSlamConfig) -> tsdf.TsdfConfig:
+    """Build the static-map TsdfConfig from the top-level DynSlamConfig."""
+    return tsdf.TsdfConfig(
+        pool_capacity=config.map.pool_capacity,
+        local_dims=config.map.local_dims,
+        max_new_blocks=config.map.max_new_blocks_per_frame,
+        max_visible_blocks=min(
+            config.map.pool_capacity,
+            config.map.max_new_blocks_per_frame * 4,
+        ),
+        voxel_size=config.scene.voxel_size_m,
+        mu=config.scene.mu_m,
+        max_weight=float(config.scene.max_weight),
+        min_depth=config.min_depth_m,
+        max_depth=config.max_depth_m,
+        use_depth_weighting=config.map.use_depth_weighting,
+        raycast_steps=config.map.raycast_coarse_steps
+        + config.map.raycast_fine_steps,
+        width=config.frame_width,
+        height=config.frame_height,
+        fx=config.intrinsics.fx,
+        fy=config.intrinsics.fy,
+        cx=config.intrinsics.cx,
+        cy=config.intrinsics.cy,
+    )
