@@ -274,19 +274,23 @@ def visible_blocks(
     return slots, mask
 
 
-_VOX_OFFSETS = None
+def _make_voxel_offsets():
+    import numpy as np
+
+    idx = np.arange(BLOCK3)
+    return np.stack([idx // 64, (idx // 8) % 8, idx % 8], axis=-1).astype(
+        np.int32
+    )
+
+
+#: (512, 3) voxel offsets within a block, idx = (x*8 + y)*8 + z.
+#: Kept as host numpy — a jnp cache created inside a trace would leak
+#: tracers into later traces.
+_VOX_OFFSETS_NP = _make_voxel_offsets()
 
 
 def _voxel_offsets() -> jnp.ndarray:
-    """(512, 3) voxel offsets within a block, idx = (x*8 + y)*8 + z."""
-    global _VOX_OFFSETS
-    if _VOX_OFFSETS is None:
-        import numpy as np
-
-        idx = np.arange(BLOCK3)
-        off = np.stack([idx // 64, (idx // 8) % 8, idx % 8], axis=-1)
-        _VOX_OFFSETS = jnp.asarray(off, jnp.int32)
-    return _VOX_OFFSETS
+    return jnp.asarray(_VOX_OFFSETS_NP)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
