@@ -127,8 +127,10 @@ class InstanceMapParams:
     max_objects: int = 8
     #: block capacity per object (cars are mostly surface; 5x5x10 m bound)
     blocks_per_object: int = 2048
-    #: dense local grid per object, in blocks (covers ~ 7.2x4.5x11 m at 0.035)
-    local_dims: Tuple[int, int, int] = (26, 16, 40)
+    #: dense local grid per object, in blocks; the volume frame is the
+    #: camera frame at first observation, so the window must reach the
+    #: object's position: 64x24x80 blocks = ~17.9x6.7x22.4 m at 0.035
+    local_dims: Tuple[int, int, int] = (64, 24, 80)
     max_new_blocks_per_frame: int = 1024
     raycast_coarse_steps: int = 48
     raycast_fine_steps: int = 10

@@ -85,7 +85,9 @@ class SyntheticScene:
                 Box(
                     np.array([0.9, 0.75, 2.1]),
                     pose,
-                    velocity=np.array([0.0, 0.0, 0.45]),
+                    # 0.85 m/frame ~ 30 km/h at 10 fps: safely above the
+                    # 0.55 m dynamic threshold (Track.h:90-98)
+                    velocity=np.array([0.0, 0.0, 0.85]),
                     is_dynamic=True,
                 )
             )

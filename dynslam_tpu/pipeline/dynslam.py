@@ -94,6 +94,11 @@ class DynSlam:
             delta = self.sparse_sf_provider.get_latest_motion()
         else:
             delta = np.eye(4)  # ground-truth-pose mode handled by caller
+        # the reference's GetLastEgomotion is old_c2w^-1 @ new_c2w = the
+        # INVERSE of the VO delta (InfiniTamDriver.h:126,133); with it the
+        # track state machine's error term ego @ rel is the object's
+        # residual world motion — identity for static objects
+        self.last_egomotion = np.linalg.inv(delta).astype(np.float32)
         new_pose = (delta @ self.pose_history[-1]).astype(np.float32)
         self.static_scene.set_pose(new_pose)
         self.pose_history.append(new_pose)
@@ -149,6 +154,11 @@ class DynSlam:
     # accessors mirroring DynSlam.h:76-268
     def get_pose_history(self) -> List[np.ndarray]:
         return self.pose_history
+
+    def get_last_egomotion(self) -> np.ndarray:
+        """Camera delta T_cur<-prev of the latest frame
+        (DynSlam::GetLastEgomotion)."""
+        return getattr(self, "last_egomotion", np.eye(4, dtype=np.float32))
 
     def get_current_pose(self) -> np.ndarray:
         return self.pose_history[-1]
