@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""End-to-end benchmark on KITTI-sized frames (1242x375), run on the
+default JAX backend (the real TPU chip under the driver).
+
+Pipeline measured per frame (the reference's per-frame loop,
+DynSlam.cpp:18-175, minus disk IO): census stereo disparity -> depth,
+sparse scene flow + RANSAC visual odometry, TSDF block allocation +
+fusion, full-frame raycast, voxel decay. Synthetic frames are pre-rendered
+(and cached) so the number reflects the framework, not numpy raytracing.
+
+Prints ONE JSON line:
+  {"metric": "end_to_end_fps_kitti_1242x375", "value": <fps>,
+   "unit": "fps", "vs_baseline": <fps / 2.5>}
+vs_baseline is against the reference system's ~2.5 Hz on its desktop GPU
+(ICRA'18 paper figure; the repo itself publishes no numbers, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+W, H = 1242, 375
+N_FRAMES = 16
+WARMUP = 3
+CACHE = "/tmp/dynslam_bench_frames_v1.npz"
+
+
+def render_frames():
+    import numpy as np
+
+    from dynslam_tpu.config import Intrinsics, StereoCalibration
+    from dynslam_tpu.io.synthetic import (
+        SyntheticScene, render_stereo_frame, straight_trajectory,
+    )
+
+    if os.path.exists(CACHE):
+        try:
+            data = np.load(CACHE)
+            if data["left"].shape == (N_FRAMES, H, W):
+                return data["left"], data["right"]
+        except Exception:
+            pass
+
+    intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
+    calib = StereoCalibration(0.537150654273, 707.0912)
+    scene = SyntheticScene.default_scene(seed=11)
+    poses = straight_trajectory(N_FRAMES, speed=0.8, yaw_rate=0.003)
+    left = []
+    right = []
+    t0 = time.time()
+    for i in range(N_FRAMES):
+        fr = render_stereo_frame(scene, poses[i], intr, calib, W, H, frame=i)
+        left.append(np.clip(fr["left_gray"] * 255, 0, 255).astype("uint8"))
+        right.append(np.clip(fr["right_gray"] * 255, 0, 255).astype("uint8"))
+        print(f"[bench] rendered frame {i + 1}/{N_FRAMES} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    left = np.stack(left)
+    right = np.stack(right)
+    try:
+        np.savez_compressed(CACHE, left=left, right=right)
+    except Exception:
+        pass
+    return left, right
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynslam_tpu.config import (
+        DynSlamConfig, Intrinsics, MapParams, SceneParams, StereoCalibration,
+        StereoMatcherParams, VisualOdometryParams, VoxelDecayParams,
+    )
+    from dynslam_tpu.ops import depth as depth_ops
+    from dynslam_tpu.ops import stereo as stereo_ops
+    from dynslam_tpu.pipeline.mapping import MapEngine, engine_config_from
+    from dynslam_tpu.pipeline.sparse_sf import SparseSFProvider
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    left_np, right_np = render_frames()
+
+    intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
+    calib = StereoCalibration(0.537150654273, 707.0912)
+    cfg = DynSlamConfig(
+        frame_width=W, frame_height=H, intrinsics=intr, calibration=calib,
+        dynamic_mode=False,
+        scene=SceneParams(voxel_size_m=0.05, mu_m=0.30),
+        map=MapParams(pool_capacity=2 ** 17, local_dims=(160, 48, 160),
+                      max_new_blocks_per_frame=8192),
+        stereo=StereoMatcherParams(max_disparity=128),
+        vo=VisualOdometryParams(),
+        decay=VoxelDecayParams(enabled=True, min_decay_age=200,
+                               max_decay_weight=1),
+    )
+
+    engine = MapEngine(engine_config_from(cfg), cfg.decay, intr)
+    sf = SparseSFProvider((intr.fx, intr.cx, intr.cy), calib, cfg.vo)
+
+    # preload frames to the device (gray once for stereo+VO)
+    left_dev = [jnp.asarray(x, jnp.float32) for x in left_np]
+    right_dev = [jnp.asarray(x, jnp.float32) for x in right_np]
+    rgb_dev = [
+        jnp.broadcast_to(jnp.asarray(x)[..., None], (H, W, 3))
+        for x in left_np
+    ]
+
+    pose = jnp.eye(4, dtype=jnp.float32)  # device-resident pose chain
+    frame_times = []
+
+    for i in range(N_FRAMES):
+        t0 = time.perf_counter()
+
+        disp = stereo_ops.compute_disparity_jit(left_dev[i], right_dev[i],
+                                                cfg.stereo)
+        depth_m = depth_ops.depth_m_from_mm(
+            depth_ops.depth_mm_from_disparity(disp, calib.bf)
+        )
+
+        sf.compute_sparse_sf(left_dev[i], right_dev[i])
+        pose = sf.get_latest_motion_device() @ pose
+
+        engine.set_pose(pose)
+        engine.set_view_device(rgb_dev[i], depth_m)
+        if i > 0:
+            engine.integrate()
+            engine.prepare_next_step()
+            engine.decay()
+            engine.get_raycast().depth.block_until_ready()
+        else:
+            engine.frame_idx += 1
+
+        dt = time.perf_counter() - t0
+        frame_times.append(dt)
+        print(f"[bench] frame {i}: {dt * 1000:.1f} ms", file=sys.stderr)
+
+    timed = frame_times[WARMUP:]
+    fps = len(timed) / sum(timed)
+    used = engine.get_used_block_count()
+    print(
+        f"[bench] steady-state: {fps:.2f} FPS over {len(timed)} frames; "
+        f"map {used} blocks", file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "end_to_end_fps_kitti_1242x375",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 2.5, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,11 +105,13 @@ class MapParams:
     local_dims: Tuple[int, int, int] = (160, 48, 160)
     #: max freshly allocated blocks per frame
     max_new_blocks_per_frame: int = 8192
+    #: max blocks fused per frame (frustum-visible set cap)
+    max_visible_blocks: int = 16384
     #: fusion weight ~ 1/depth ("depth weighting", InfiniTamDriver.h:100,138)
     use_depth_weighting: bool = False
-    #: number of coarse ray steps (block-sized) and fine steps in raycast
-    raycast_coarse_steps: int = 64
-    raycast_fine_steps: int = 12
+    #: DF-guided coarse steps and near-surface fine steps in the raycaster
+    raycast_coarse_steps: int = 24
+    raycast_fine_steps: int = 20
 
 
 @dataclass(frozen=True)
@@ -132,8 +134,8 @@ class InstanceMapParams:
     #: object's position: 64x24x80 blocks = ~17.9x6.7x22.4 m at 0.035
     local_dims: Tuple[int, int, int] = (64, 24, 80)
     max_new_blocks_per_frame: int = 1024
-    raycast_coarse_steps: int = 48
-    raycast_fine_steps: int = 10
+    raycast_coarse_steps: int = 20
+    raycast_fine_steps: int = 16
 
 
 @dataclass(frozen=True)
@@ -151,7 +153,7 @@ class VisualOdometryParams:
     #: max matched features carried through the pipeline (static shape)
     max_matches: int = 2048
     #: max detected corners per image before bucketing
-    max_candidates: int = 4096
+    max_candidates: int = 2048
     ransac_iters: int = 500
     inlier_threshold_px: float = 2.0
     gn_iters: int = 8
@@ -270,8 +272,6 @@ def tiny_test_config(width: int = 128, height: int = 96) -> DynSlamConfig:
             pool_capacity=4096,
             local_dims=(48, 32, 48),
             max_new_blocks_per_frame=2048,
-            raycast_coarse_steps=48,
-            raycast_fine_steps=8,
         ),
         instance_map=InstanceMapParams(
             max_objects=4,

@@ -64,7 +64,8 @@ class InstanceReconstructor:
             min_depth=config.min_depth_m,
             max_depth=config.max_depth_m,
             use_depth_weighting=config.map.use_depth_weighting,
-            raycast_steps=imp.raycast_coarse_steps + imp.raycast_fine_steps,
+            raycast_coarse_steps=imp.raycast_coarse_steps,
+            raycast_fine_steps=imp.raycast_fine_steps,
             width=config.frame_width,
             height=config.frame_height,
             fx=config.intrinsics.fx,

@@ -4,16 +4,23 @@ InfiniTamDriver.h:79-300), including the DynSLAM fork's voxel-decay
 garbage collection and depth-based fusion weights.
 
 Architecture (TPU-first, replaces the CUDA voxel hash):
-- A fixed-capacity **struct-of-arrays block pool**: `tsdf`/`weight`/`color`
-  arrays of shape (P, 512) [8^3 voxels per block, SDF_BLOCK_SIZE parity
-  with InfiniTamDriver.h:237-250], plus per-block metadata (world block
-  coords, allocation frame, last-seen frame, validity).
+- A fixed-capacity **struct-of-arrays block pool**: a packed `tsdf_w`
+  int32 array of shape (P, 512) [8^3 voxels per block, SDF_BLOCK_SIZE
+  parity with InfiniTamDriver.h:237-250] holding int16 SDF + u16 weight
+  per voxel (ITM itself stores short SDF), plus uint8 color and per-block
+  metadata (world block coords, allocation frame, last-seen, validity).
+  Packing halves HBM bytes and — critically — makes every raycast sample
+  a SINGLE gather.
 - A **frustum-local dense index cache** `grid`: an int32 volume of
   `local_dims` block cells anchored at a per-frame origin near the camera;
   `grid[c - origin] = pool slot`. Rebuilt each frame with ONE scatter over
   the pool (O(P), no hash probes), it turns every block lookup in
-  allocation, integration, and raycasting into a direct dense index —
-  XLA-friendly where open-addressing hashes are not.
+  allocation, integration, and raycasting into a direct dense index.
+- A per-frame **block distance field** over the local grid (capped
+  chebyshev DF, built with a few reduce_window min-dilations) drives
+  empty-space skipping in the raycaster: the coarse phase samples only the
+  cheap int8 DF and leaps (df-0.5) blocks per step; the expensive fine
+  phase (packed-voxel gathers) runs only near allocated geometry.
 - Allocation is a scatter-dedupe: candidate blocks along each depth ray's
   truncation band are scattered into a `wanted` mask; missing ones are
   compacted with fixed-size `jnp.nonzero` and assigned free pool slots.
@@ -21,10 +28,6 @@ Architecture (TPU-first, replaces the CUDA voxel hash):
   all 512 voxels into the depth map, running weighted TSDF average with
   maxW cap and optional 1/z^2 depth weighting (the fork's
   `SetFusionWeightParams`, InfiniTamDriver.h:100,138).
-- Raycasting: per-pixel sphere tracing over the local grid with
-  block-skipping steps in unallocated space, sign-change detection, and
-  linear sub-voxel interpolation; color/normal/depth/weight render modes
-  (PreviewType.h:6-8) are derived from its outputs.
 - Decay GC (`Decay`/`DecayCatchup`/`Reap`, InfiniTamDriver.h:198-235):
   masked deletion of low-weight voxels in old-enough blocks + reclamation
   of emptied blocks back to the free list, with the memory statistics the
@@ -46,6 +49,25 @@ import jax.numpy as jnp
 BLOCK = 8
 BLOCK3 = BLOCK ** 3
 
+# packed voxel: (sdf_i16 << 16) | weight_u16
+SDF_SCALE = 32767.0
+WEIGHT_SCALE = 64.0
+EMPTY_VOXEL = jnp.int32(32767 << 16)
+
+
+def pack_voxel(sdf: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    s = jnp.clip(jnp.round(sdf * SDF_SCALE), -32767, 32767).astype(jnp.int32)
+    w = jnp.clip(jnp.round(weight * WEIGHT_SCALE), 0, 65535).astype(jnp.int32)
+    return (s << 16) | w
+
+
+def unpack_sdf(v: jnp.ndarray) -> jnp.ndarray:
+    return (v >> 16).astype(jnp.float32) / SDF_SCALE
+
+
+def unpack_weight(v: jnp.ndarray) -> jnp.ndarray:
+    return (v & 0xFFFF).astype(jnp.float32) / WEIGHT_SCALE
+
 
 @dataclass(frozen=True)
 class TsdfConfig:
@@ -61,7 +83,12 @@ class TsdfConfig:
     min_depth: float = 0.5
     max_depth: float = 20.0
     use_depth_weighting: bool = False
-    raycast_steps: int = 96
+    #: DF-guided coarse steps (cheap int8 gathers) and near-surface fine
+    #: steps (packed-voxel gathers)
+    raycast_coarse_steps: int = 24
+    raycast_fine_steps: int = 20
+    #: chebyshev cap of the block distance field (skip up to df-0.5 blocks)
+    df_cap: int = 8
     width: int = 1242
     height: int = 375
     fx: float = 707.0912
@@ -77,8 +104,7 @@ class TsdfConfig:
 class TsdfState(NamedTuple):
     """The map: a struct-of-arrays voxel-block pool (a jax pytree)."""
 
-    tsdf: jnp.ndarray  # (P, 512) f32, normalized SDF in [-1, 1]; 1 = free
-    weight: jnp.ndarray  # (P, 512) f32 accumulated fusion weight
+    tsdf_w: jnp.ndarray  # (P, 512) int32 packed (sdf_i16 << 16 | w_u16)
     color: jnp.ndarray  # (P, 512, 3) uint8
     block_coords: jnp.ndarray  # (P, 3) int32 world block coords
     alloc_frame: jnp.ndarray  # (P,) int32 frame the block was allocated
@@ -87,12 +113,20 @@ class TsdfState(NamedTuple):
     #: cumulative count of blocks freed by decay (for the memory CSV)
     decayed_blocks: jnp.ndarray  # () int32
 
+    # -- compatibility views (tests, debugging) ---------------------------
+    @property
+    def tsdf(self) -> jnp.ndarray:
+        return unpack_sdf(self.tsdf_w)
+
+    @property
+    def weight(self) -> jnp.ndarray:
+        return unpack_weight(self.tsdf_w)
+
 
 def create_state(cfg: TsdfConfig) -> TsdfState:
     P = cfg.pool_capacity
     return TsdfState(
-        tsdf=jnp.ones((P, BLOCK3), jnp.float32),
-        weight=jnp.zeros((P, BLOCK3), jnp.float32),
+        tsdf_w=jnp.full((P, BLOCK3), EMPTY_VOXEL, jnp.int32),
         color=jnp.zeros((P, BLOCK3, 3), jnp.uint8),
         block_coords=jnp.zeros((P, 3), jnp.int32),
         alloc_frame=jnp.zeros((P,), jnp.int32),
@@ -103,14 +137,14 @@ def create_state(cfg: TsdfConfig) -> TsdfState:
 
 
 # ---------------------------------------------------------------------------
-# local grid
+# local grid + distance field
 # ---------------------------------------------------------------------------
 
 
 def _grid_linear(cfg: TsdfConfig, local: jnp.ndarray) -> jnp.ndarray:
     """(..., 3) local block coords -> linear cell index; out-of-window
     coords map to an out-of-range index (scatter drops, gather clamps —
-    callers must mask)."""
+    callers must mask). Returns (lin, in_window)."""
     dx, dy, dz = cfg.local_dims
     in_win = (
         (local[..., 0] >= 0) & (local[..., 0] < dx)
@@ -149,6 +183,26 @@ def build_local_grid(
     slots = jnp.arange(cfg.pool_capacity, dtype=jnp.int32)
     grid = grid.at[lin].set(slots, mode="drop")
     return grid[:n_cells]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def compute_block_df(cfg: TsdfConfig, grid: jnp.ndarray) -> jnp.ndarray:
+    """Capped chebyshev distance (in blocks) to the nearest allocated
+    block, over the local window: 0 = allocated cell, k = no allocated
+    block within k-1 cells. Built with df_cap min-dilation passes
+    (reduce_window) — pure VPU work, a few ms for ~1M cells."""
+    dx, dy, dz = cfg.local_dims
+    occ0 = (grid >= 0).reshape(dx, dy, dz)
+    df = jnp.where(occ0, 0.0, float(cfg.df_cap))
+
+    def body(_, d):
+        neigh = jax.lax.reduce_window(
+            d, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
+        )
+        return jnp.minimum(d, neigh + 1.0)
+
+    df = jax.lax.fori_loop(0, cfg.df_cap - 1, body, df)
+    return df.reshape(-1).astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------------
@@ -223,8 +277,7 @@ def allocate(
         ),
         alloc_frame=state.alloc_frame.at[slot_safe].set(frame_idx, mode="drop"),
         last_seen=state.last_seen.at[slot_safe].set(frame_idx, mode="drop"),
-        tsdf=state.tsdf.at[slot_safe].set(1.0, mode="drop"),
-        weight=state.weight.at[slot_safe].set(0.0, mode="drop"),
+        tsdf_w=state.tsdf_w.at[slot_safe].set(EMPTY_VOXEL, mode="drop"),
         color=state.color.at[slot_safe].set(0, mode="drop"),
     )
     cell_safe = jnp.where(usable, cell_ids, n_cells)
@@ -305,7 +358,6 @@ def integrate(
     frame_idx: jnp.ndarray,
 ) -> TsdfState:
     """Fuse one view into the visible blocks (IntegrateIntoScene)."""
-    V = slots.shape[0]
     slots_c = jnp.clip(slots, 0, cfg.pool_capacity - 1)
 
     coords = state.block_coords[slots_c]  # (V, 3)
@@ -342,14 +394,16 @@ def integrate(
         w_obs = jnp.ones_like(d)
     w_obs = jnp.where(update, w_obs, 0.0)
 
-    w_old = state.weight[slots_c]
-    t_old = state.tsdf[slots_c]
+    packed_old = state.tsdf_w[slots_c]
+    w_old = unpack_weight(packed_old)
+    t_old = unpack_sdf(packed_old)
     w_new = jnp.minimum(w_old + w_obs, cfg.max_weight)
     t_new = jnp.where(
         w_obs > 0,
         (t_old * w_old + sdf_obs * w_obs) / jnp.maximum(w_old + w_obs, 1e-6),
         t_old,
     )
+    packed_new = pack_voxel(t_new, w_new)
 
     # color: only near the surface (|eta| < mu/4, InfiniTAM behavior)
     c_old = state.color[slots_c].astype(jnp.float32)
@@ -364,8 +418,7 @@ def integrate(
 
     slot_safe = jnp.where(slots_mask, slots, cfg.pool_capacity)
     return state._replace(
-        tsdf=state.tsdf.at[slot_safe].set(t_new, mode="drop"),
-        weight=state.weight.at[slot_safe].set(w_new, mode="drop"),
+        tsdf_w=state.tsdf_w.at[slot_safe].set(packed_new, mode="drop"),
         color=state.color.at[slot_safe].set(
             jnp.clip(c_new + 0.5, 0, 255).astype(jnp.uint8), mode="drop"
         ),
@@ -397,9 +450,13 @@ def raycast(
     width: int | None = None,
     height: int | None = None,
 ) -> Raycast:
-    """Per-pixel sphere tracing over the local grid with nearest-voxel
-    sampling, block skipping in free space, and linear sub-step surface
-    interpolation (the visualisationEngine raycast equivalent)."""
+    """Two-phase per-pixel raycast:
+    - coarse: march guided by the int8 block distance field (one cheap
+      gather per step, (df-0.5)-block leaps) until an allocated block
+    - fine: sphere-trace the packed TSDF (one int32 gather per step) with
+      sign-change detection and linear zero-crossing interpolation.
+    Rays start at the local-window AABB entry, so sky rays above the map
+    exit almost immediately."""
     w = width or cfg.width
     h = height or cfg.height
     dx, dy, dz = cfg.local_dims
@@ -411,73 +468,107 @@ def raycast(
     rc = jnp.stack([(uu - cx) / fx, (vv - cy) / fy, jnp.ones((h, w))], -1)
     R, cam_pos = cam_to_world[:3, :3], cam_to_world[:3, 3]
     rd = rc @ R.T  # world-frame direction, z-normalized (|rd| != 1)
-    rd_norm = jnp.linalg.norm(rd, axis=-1)
 
+    df = compute_block_df(cfg, grid)
     grid_ext = jnp.concatenate([grid, jnp.full((1,), -1, jnp.int32)])
-    tsdf_flat = state.tsdf.reshape(-1)
-    weight_flat = state.weight.reshape(-1)
+    df_ext = jnp.concatenate([df, jnp.full((1,), cfg.df_cap, jnp.int8)])
+    packed_flat = state.tsdf_w.reshape(-1)
 
-    def sample(pos):
-        """Nearest-voxel TSDF sample at world pos. Returns (sdf, wv, vidx);
-        unallocated space reads as sdf=1, weight=0."""
-        vox_c = jnp.floor(pos / cfg.voxel_size).astype(jnp.int32)
-        blk = jnp.floor(
-            vox_c.astype(jnp.float32) / BLOCK
-        ).astype(jnp.int32)
+    t_min = jnp.float32(cfg.min_depth * 0.6)
+    t_max = jnp.float32(cfg.max_depth * 1.05)
+    block = cfg.block_size
+
+    # ray/window-AABB intersection (t along the z-normalized direction)
+    box_lo = origin.astype(jnp.float32) * block
+    box_hi = box_lo + jnp.asarray(cfg.local_dims, jnp.float32) * block
+    inv_d = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, 1e-9, rd)
+    t1 = (box_lo[None, None, :] - cam_pos[None, None, :]) * inv_d
+    t2 = (box_hi[None, None, :] - cam_pos[None, None, :]) * inv_d
+    t_enter = jnp.maximum(jnp.minimum(t1, t2).max(-1), t_min)
+    t_leave = jnp.minimum(jnp.maximum(t1, t2).min(-1), t_max)
+
+    def cell_index(pos):
+        blk = jnp.floor(pos / block).astype(jnp.int32)
         local = blk - origin
         lin, in_win = _grid_linear(cfg, local)
-        slot = grid_ext[jnp.where(in_win, lin, n_cells)]
-        lv = vox_c - blk * BLOCK
+        return jnp.where(in_win, lin, n_cells), in_win
+
+    # -- coarse phase: DF-guided skipping ------------------------------
+    def coarse_body(i, c):
+        t, entered, t_entry = c
+        pos = cam_pos[None, None, :] + rd * t[..., None]
+        lin, in_win = cell_index(pos)
+        dfv = df_ext[lin].astype(jnp.float32)
+        hit_now = (dfv <= 0.5) & in_win & ~entered & (t <= t_leave)
+        t_entry = jnp.where(hit_now, t, t_entry)
+        entered = entered | hit_now
+        step = jnp.maximum(dfv - 0.5, 0.6) * block
+        t = jnp.where(entered | (t > t_leave), t, t + step)
+        return t, entered, t_entry
+
+    t0 = t_enter
+    entered0 = jnp.zeros((h, w), bool)
+    t_entry0 = jnp.zeros((h, w))
+    _, entered, t_entry = jax.lax.fori_loop(
+        0, cfg.raycast_coarse_steps, coarse_body,
+        (t0, entered0, t_entry0),
+    )
+
+    # -- fine phase: packed-voxel sphere tracing ------------------------
+    def sample(pos):
+        lin, in_win = cell_index(pos)
+        slot = grid_ext[lin]
+        vox_c = jnp.floor(pos / cfg.voxel_size).astype(jnp.int32)
+        lv = vox_c - (jnp.floor(pos / block).astype(jnp.int32)) * BLOCK
         vidx = (lv[..., 0] * BLOCK + lv[..., 1]) * BLOCK + lv[..., 2]
         flat = jnp.clip(slot, 0, cfg.pool_capacity - 1) * BLOCK3 + vidx
         ok = (slot >= 0) & in_win
-        sdf = jnp.where(ok, tsdf_flat[flat], 1.0)
-        wv = jnp.where(ok, weight_flat[flat], 0.0)
+        packed = jnp.where(ok, packed_flat[flat], EMPTY_VOXEL)
+        sdf = unpack_sdf(packed)
+        wv = unpack_weight(packed)
         return sdf, wv, jnp.where(ok, flat, 0), ok
 
     mu = cfg.mu
-    t_min = jnp.float32(cfg.min_depth * 0.6)
-    t_max = jnp.float32(cfg.max_depth * 1.05)
-
+    t_fine0 = jnp.where(
+        entered, jnp.maximum(t_entry - 0.6 * block, t_min), t_max + 1.0
+    )
     init = dict(
-        t=jnp.full((h, w), t_min),
+        t=t_fine0,
         prev_sdf=jnp.ones((h, w)),
-        prev_t=jnp.full((h, w), t_min),
+        prev_t=t_fine0,
         hit_t=jnp.zeros((h, w)),
         hit_flat=jnp.zeros((h, w), jnp.int32),
         found=jnp.zeros((h, w), bool),
     )
 
-    def body(i, c):
+    def fine_body(i, c):
+        active = ~c["found"] & (c["t"] <= t_leave)
         pos = cam_pos[None, None, :] + rd * c["t"][..., None]
         sdf, wv, flat, alloc = sample(pos)
         confident = alloc & (wv > 0)
-        crossing = (
-            (c["prev_sdf"] > 0.0) & (sdf <= 0.0) & confident & ~c["found"]
-            & (c["t"] > t_min)
-        )
-        # linear interpolation of the zero crossing along the ray
+        crossing = (c["prev_sdf"] > 0.0) & (sdf <= 0.0) & confident & active
         denom = c["prev_sdf"] - sdf
-        frac = jnp.where(denom > 1e-6, c["prev_sdf"] / jnp.maximum(denom, 1e-6), 0.0)
+        frac = jnp.where(
+            denom > 1e-6, c["prev_sdf"] / jnp.maximum(denom, 1e-6), 0.0
+        )
         t_hit = c["prev_t"] + (c["t"] - c["prev_t"]) * frac
         c["hit_t"] = jnp.where(crossing, t_hit, c["hit_t"])
         c["hit_flat"] = jnp.where(crossing, flat, c["hit_flat"])
         c["found"] = c["found"] | crossing
 
-        # adaptive step: sphere-trace in the band, block-skip outside it
         step = jnp.where(
-            alloc,
-            jnp.maximum(sdf * mu * 0.9, cfg.voxel_size * 0.6),
-            mu * 0.9,
+            confident,
+            jnp.maximum(sdf * mu * 0.9, cfg.voxel_size * 0.75),
+            0.75 * block,
         )
         c["prev_sdf"] = jnp.where(confident, sdf, 1.0)
         c["prev_t"] = c["t"]
         c["t"] = jnp.where(c["found"], c["t"], c["t"] + step)
         return c
 
-    out = jax.lax.fori_loop(0, cfg.raycast_steps, body, init)
+    out = jax.lax.fori_loop(0, cfg.raycast_fine_steps, fine_body, init)
 
-    hit = out["found"] & (out["hit_t"] < t_max)
+    hit = out["found"] & (out["hit_t"] < t_max) & (out["hit_t"] > 0)
     depth = jnp.where(hit, out["hit_t"], 0.0)  # rd is z-normalized => t == z
     points = cam_pos[None, None, :] + rd * out["hit_t"][..., None]
     color = jnp.where(
@@ -485,7 +576,7 @@ def raycast(
         state.color.reshape(-1, 3)[out["hit_flat"]],
         jnp.zeros(3, jnp.uint8),
     )
-    wgt = jnp.where(hit, weight_flat[out["hit_flat"]], 0.0)
+    wgt = jnp.where(hit, unpack_weight(packed_flat[out["hit_flat"]]), 0.0)
     return Raycast(depth=depth, points=points, color=color, weight=wgt, hit=hit)
 
 
@@ -506,20 +597,20 @@ def decay(
     """Voxel decay GC: in blocks old enough (age >= min_decay_age, or all
     when force_all/DecayCatchup), delete voxels whose weight is in
     (0, max_decay_weight]; blocks left fully empty are reclaimed.
-    Returns (state, n_freed_blocks)."""
+    Returns (state, n_freed_blocks). Operates on the packed weight bits
+    directly — one int32 stream over the pool."""
     age = frame_idx - state.alloc_frame
     eligible = state.valid & ((age >= min_decay_age) | bool(force_all))
 
-    w = state.weight
-    kill = eligible[:, None] & (w > 0) & (w <= max_decay_weight)
-    new_w = jnp.where(kill, 0.0, w)
-    new_t = jnp.where(kill, 1.0, state.tsdf)
+    wbits = state.tsdf_w & 0xFFFF
+    w_thresh = jnp.round(max_decay_weight * WEIGHT_SCALE).astype(jnp.int32)
+    kill = eligible[:, None] & (wbits > 0) & (wbits <= w_thresh)
+    new_packed = jnp.where(kill, EMPTY_VOXEL, state.tsdf_w)
 
-    emptied = eligible & jnp.all(new_w <= 0.0, axis=1)
+    emptied = eligible & jnp.all((new_packed & 0xFFFF) == 0, axis=1)
     n_freed = jnp.sum(emptied)
     state = state._replace(
-        weight=new_w,
-        tsdf=new_t,
+        tsdf_w=new_packed,
         valid=state.valid & ~emptied,
         decayed_blocks=state.decayed_blocks + n_freed.astype(jnp.int32),
     )
@@ -530,10 +621,10 @@ def decay(
 # stats
 # ---------------------------------------------------------------------------
 
-#: bytes per voxel for the memory CSV. Our storage is f32 sdf + f32 weight
-#: + 3x uint8 color = 11 B/voxel (the reference reports sizeof(ITMVoxel);
-#: we report our actual footprint, InfiniTamDriver.h:241-250 semantics).
-BYTES_PER_VOXEL = 11
+#: bytes per voxel for the memory CSV: packed int32 sdf+weight (4 B) +
+#: 3x uint8 color = 7 B/voxel (the reference reports sizeof(ITMVoxel) = 8;
+#: we report our actual footprint, InfiniTamDriver.h:241-250 semantics)
+BYTES_PER_VOXEL = 7
 
 
 @partial(jax.jit, static_argnames=("cfg",))

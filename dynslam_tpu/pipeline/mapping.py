@@ -79,6 +79,8 @@ class MapEngine:
         self._view_rgb: Optional[jnp.ndarray] = None
         self._view_depth_m: Optional[jnp.ndarray] = None
         self._last_raycast: Optional[tsdf.Raycast] = None
+        #: (origin, grid) cached by integrate() for same-pose raycasts
+        self._frame_cache = None
 
     # -- view & pose ------------------------------------------------------
     def update_view(self, rgb: np.ndarray, depth_mm: np.ndarray,
@@ -133,19 +135,27 @@ class MapEngine:
             self.cfg, self.state, slots, mask, self._view_rgb,
             self._view_depth_m, self.pose_w2c, jnp.int32(self.frame_idx),
         )
+        # the post-allocation grid is valid for any raycast at this frame's
+        # map state; reusing it here saves a rebuild in prepare_next_step
+        self._frame_cache = (origin, grid)
         self.frame_idx += 1
         self.fused_frames += 1
 
     def prepare_next_step(self) -> None:
         """Raycast from the current pose, caching the result for previews
         (trackingController->Prepare, InfiniTamDriver.h:148-158)."""
-        self._last_raycast = self._raycast_from(self.cam_to_world)
+        self._last_raycast = self._raycast_from(self.cam_to_world,
+                                                reuse_cache=True)
 
     def _raycast_from(self, cam_to_world: jnp.ndarray,
                       width: int | None = None,
-                      height: int | None = None) -> tsdf.Raycast:
-        origin = tsdf.compute_origin(self.cfg, cam_to_world)
-        grid = tsdf.build_local_grid(self.cfg, self.state, origin)
+                      height: int | None = None,
+                      reuse_cache: bool = False) -> tsdf.Raycast:
+        if reuse_cache and self._frame_cache is not None:
+            origin, grid = self._frame_cache
+        else:
+            origin = tsdf.compute_origin(self.cfg, cam_to_world)
+            grid = tsdf.build_local_grid(self.cfg, self.state, origin)
         return tsdf.raycast(
             self.cfg, self.state, grid, origin, cam_to_world,
             self.intrinsics_vec, width, height,
@@ -258,8 +268,7 @@ def engine_config_from(config: DynSlamConfig) -> tsdf.TsdfConfig:
         local_dims=config.map.local_dims,
         max_new_blocks=config.map.max_new_blocks_per_frame,
         max_visible_blocks=min(
-            config.map.pool_capacity,
-            config.map.max_new_blocks_per_frame * 4,
+            config.map.pool_capacity, config.map.max_visible_blocks
         ),
         voxel_size=config.scene.voxel_size_m,
         mu=config.scene.mu_m,
@@ -267,8 +276,8 @@ def engine_config_from(config: DynSlamConfig) -> tsdf.TsdfConfig:
         min_depth=config.min_depth_m,
         max_depth=config.max_depth_m,
         use_depth_weighting=config.map.use_depth_weighting,
-        raycast_steps=config.map.raycast_coarse_steps
-        + config.map.raycast_fine_steps,
+        raycast_coarse_steps=config.map.raycast_coarse_steps,
+        raycast_fine_steps=config.map.raycast_fine_steps,
         width=config.frame_width,
         height=config.frame_height,
         fx=config.intrinsics.fx,

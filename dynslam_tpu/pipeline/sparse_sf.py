@@ -79,35 +79,45 @@ class SparseSFProvider:
                 flow, valid, self.calib_vec, key,
                 jnp.zeros(6, jnp.float32), self.params,
             )
-            self._latest_flow = SparseSceneFlow(
-                np.asarray(flow), np.asarray(valid)
-            )
-            if bool(est.success):
-                self._latest_motion = np.asarray(est.matrix)
-                self._latest_motion_tr = np.asarray(est.tr)
-            else:
-                self._latest_motion = None
-                self._latest_motion_tr = None
+            # keep everything on device; hosts syncs are deferred to the
+            # accessors (estimate_motion already yields identity on failure)
+            self._latest_flow_dev = (flow, valid)
+            self._latest_flow = None
+            self._latest_est = est
         self._prev_feats = (cur_l, cur_r)
         self._prev_gray = (lg, rg)
         self._frame_counter += 1
 
     def flow_available(self) -> bool:
-        return self._latest_flow is not None
+        return getattr(self, "_latest_flow_dev", None) is not None
 
     def get_flow(self) -> SparseSceneFlow:
-        assert self._latest_flow is not None
+        """Host view of the latest flow (syncs on first access per frame)."""
+        if self._latest_flow is None:
+            flow, valid = self._latest_flow_dev
+            self._latest_flow = SparseSceneFlow(
+                np.asarray(flow), np.asarray(valid)
+            )
         return self._latest_flow
 
     def get_latest_motion(self) -> np.ndarray:
         """4x4 T_cur<-prev; identity if estimation failed (the reference
-        logs a warning and reuses nothing, DynSlam.cpp:80-82)."""
-        if self._latest_motion is None:
+        logs a warning and reuses nothing, DynSlam.cpp:80-82). Syncs."""
+        if getattr(self, "_latest_est", None) is None:
             return np.eye(4)
-        return self._latest_motion
+        return np.asarray(self._latest_est.matrix)
+
+    def get_latest_motion_device(self):
+        """Device-resident 4x4 delta — lets the pose chain stay on the
+        accelerator (no host round trip in the hot loop)."""
+        if getattr(self, "_latest_est", None) is None:
+            return jnp.eye(4, dtype=jnp.float32)
+        return self._latest_est.matrix
 
     def motion_available(self) -> bool:
-        return self._latest_motion is not None
+        return getattr(self, "_latest_est", None) is not None and bool(
+            self._latest_est.success
+        )
 
     def extract_motion(
         self, masked_flow: np.ndarray, initial_estimate=None

@@ -30,8 +30,6 @@ def small_config(dynamic=False):
             pool_capacity=16384,
             local_dims=(80, 32, 80),
             max_new_blocks_per_frame=4096,
-            raycast_coarse_steps=72,
-            raycast_fine_steps=8,
         ),
         vo=VisualOdometryParams(
             max_candidates=1024, max_matches=512, ransac_iters=60,

@@ -22,7 +22,8 @@ CFG = tsdf.TsdfConfig(
     max_visible_blocks=6144,
     voxel_size=0.08,
     mu=0.32,
-    raycast_steps=80,
+    raycast_coarse_steps=24,
+    raycast_fine_steps=20,
     width=W,
     height=H,
     fx=INTR.fx,
