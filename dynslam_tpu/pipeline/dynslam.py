@@ -196,6 +196,19 @@ class DynSlam:
     def last_frame_ms(self) -> float:
         return self._timers.latest_ms("0-total-frame")
 
+    def save_static_map(self, out_path: str) -> int:
+        """Mesh the static map to OBJ (SaveStaticMap, DynSlam.cpp:189);
+        returns the triangle count."""
+        from dynslam_tpu.viz.meshing import save_engine_mesh
+
+        return save_engine_mesh(self.static_scene, out_path)
+
+    def save_dynamic_object(self, track_id: int, out_path: str) -> None:
+        """Mesh one reconstructed object (SaveDynamicObject,
+        DynSlam.cpp:199)."""
+        assert self.instance_reconstructor is not None
+        self.instance_reconstructor.save_object_to_mesh(track_id, out_path)
+
     def finalize(self) -> None:
         """End-of-sequence housekeeping: decay catch-up on the static map
         (the reference's 'K' key / sequence-end behavior)."""
