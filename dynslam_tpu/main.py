@@ -1,0 +1,151 @@
+"""Command-line entry point — the reference's `DynSLAMGUI.cpp main()`
+(lines 1288-1315) with its ~20 gflags (lines 26-72) mapped to argparse,
+minus the Pangolin GUI (headless: previews/meshes/CSVs are written to an
+output directory instead; see scripts/demo_synthetic.py for a generated
+sequence).
+
+Usage:
+  python -m dynslam_tpu.main --dataset_root /data/kitti/odometry/06 \
+      --enable_evaluation --out /tmp/run06
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # dataset flags (DynSLAMGUI.cpp:26-34)
+    p.add_argument("--dataset_root", required=True,
+                   help="KITTI-layout sequence root")
+    p.add_argument("--dataset_type", choices=["kitti-odometry", "kitti-tracking"],
+                   default="kitti-odometry")
+    p.add_argument("--kitti_tracking_sequence_id", type=int, default=-1)
+    p.add_argument("--frame_offset", type=int, default=0)
+    p.add_argument("--frame_limit", type=int, default=0,
+                   help="stop after this many frames (0 = all)")
+    # pipeline flags (DynSLAMGUI.cpp:29-55)
+    p.add_argument("--dynamic_mode", action="store_true", default=True)
+    p.add_argument("--no-dynamic_mode", dest="dynamic_mode",
+                   action="store_false")
+    p.add_argument("--direct_refinement", action="store_true", default=False)
+    p.add_argument("--use_dispnet", action="store_true", default=False)
+    p.add_argument("--use_live_stereo", action="store_true", default=False,
+                   help="census matcher depth instead of precomputed dumps")
+    p.add_argument("--voxel_decay", action="store_true", default=True)
+    p.add_argument("--no-voxel_decay", dest="voxel_decay",
+                   action="store_false")
+    p.add_argument("--min_decay_age", type=int, default=200)
+    p.add_argument("--max_decay_weight", type=int, default=1)
+    p.add_argument("--use_depth_weighting", action="store_true", default=False)
+    p.add_argument("--fusion_every", type=int, default=1)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--voxel_size", type=float, default=0.05)
+    # evaluation flags (DynSLAMGUI.cpp:56-72)
+    p.add_argument("--enable_evaluation", action="store_true", default=False)
+    p.add_argument("--semantic_evaluation", action="store_true", default=True)
+    p.add_argument("--evaluation_delay", type=int, default=0)
+    p.add_argument("--csv_out_dir", default=None)
+    # outputs
+    p.add_argument("--out", default="./dynslam_out")
+    p.add_argument("--dump_previews_every", type=int, default=0,
+                   help="write raycast preview PNGs every k frames")
+    p.add_argument("--save_mesh", action="store_true", default=False)
+    p.add_argument("--cpu", action="store_true", default=False)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import numpy as np
+
+    from dynslam_tpu.config import (
+        DynSlamConfig, EvaluationParams, SceneParams, VoxelDecayParams,
+    )
+    from dynslam_tpu.io.calib import write_kitti_poses
+    from dynslam_tpu.pipeline.builder import build_dynslam
+    from dynslam_tpu.pipeline.mapping import PreviewType
+
+    cfg = DynSlamConfig(
+        dynamic_mode=args.dynamic_mode,
+        use_dispnet=args.use_dispnet,
+        fusion_every=args.fusion_every,
+        scale=args.scale,
+        scene=SceneParams(voxel_size_m=args.voxel_size),
+        decay=VoxelDecayParams(args.voxel_decay, args.min_decay_age,
+                               args.max_decay_weight),
+        evaluation=EvaluationParams(
+            enabled=args.enable_evaluation,
+            semantic_evaluation=args.semantic_evaluation,
+            evaluation_delay=args.evaluation_delay,
+        ),
+    )
+    cfg = dataclasses.replace(
+        cfg, map=dataclasses.replace(
+            cfg.map, use_depth_weighting=args.use_depth_weighting
+        ),
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    dyn, input_ = build_dynslam(
+        args.dataset_root,
+        cfg,
+        kitti_tracking_sequence=(
+            args.kitti_tracking_sequence_id
+            if args.dataset_type == "kitti-tracking"
+            else None
+        ),
+        use_live_stereo=args.use_live_stereo,
+        frame_offset=args.frame_offset,
+        with_instances=args.dynamic_mode,
+        with_evaluation=args.enable_evaluation,
+        csv_out_dir=args.csv_out_dir or os.path.join(args.out, "csv"),
+    )
+
+    n = 0
+    while dyn.process_frame(input_):
+        ms = dyn.last_frame_ms()
+        print(f"[Finished frame {n} in {ms:.1f} ms @ "
+              f"{1000.0 / max(ms, 1e-3):.2f} FPS]")
+        if args.dump_previews_every and n % args.dump_previews_every == 0 and n:
+            import cv2
+
+            for pv in (PreviewType.COLOR, PreviewType.DEPTH):
+                img = dyn.get_static_map_raycast_preview(preview=pv)
+                cv2.imwrite(
+                    os.path.join(args.out, f"frame{n:06d}_{pv.value}.png"),
+                    img[..., ::-1],
+                )
+        n += 1
+        if args.frame_limit and n >= args.frame_limit:
+            break
+
+    dyn.finalize()
+    if dyn.evaluation is not None:
+        dyn.evaluation.close()
+
+    est = np.stack([np.linalg.inv(p) for p in dyn.pose_history[1:]])
+    write_kitti_poses(os.path.join(args.out, "trajectory.txt"), est)
+    if args.save_mesh:
+        tris = dyn.save_static_map(os.path.join(args.out, "static_map.obj"))
+        print(f"[saved static map mesh: {tris} triangles]")
+
+    print(dyn.get_timing_report())
+    print(f"[map: {dyn.static_scene.get_used_block_count()} blocks, "
+          f"{dyn.static_scene.get_used_memory_bytes() / 1e6:.1f} MB; decay "
+          f"saved {dyn.static_scene.get_saved_decay_memory_bytes() / 1e6:.1f} MB]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
