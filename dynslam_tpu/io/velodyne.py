@@ -22,6 +22,12 @@ class VelodyneIO:
 
     def read_frame(self, frame_idx: int) -> np.ndarray:
         """Returns (N, 4) float32 [x, y, z, reflectance] in velodyne frame."""
+        try:
+            from dynslam_tpu.native import fastio
+
+            return fastio.read_velodyne(self.frame_path(frame_idx))
+        except ImportError:
+            pass
         data = np.fromfile(self.frame_path(frame_idx), dtype=np.float32)
         if data.size % 4 != 0:
             raise ValueError(

@@ -12,7 +12,14 @@ import numpy as np
 
 
 def read_pfm(path: str) -> np.ndarray:
-    """Read a PFM file into a float32 array (H, W) or (H, W, 3), top-down."""
+    """Read a PFM file into a float32 array (H, W) or (H, W, 3), top-down.
+    Uses the native parser when built (dynslam_tpu.native.fastio)."""
+    try:
+        from dynslam_tpu.native import fastio
+
+        return fastio.read_pfm(path)
+    except ImportError:
+        pass
     with open(path, "rb") as f:
         header = f.readline().strip()
         if header == b"PF":
