@@ -375,6 +375,9 @@ def write_kitti_sequence(
 
     write_kitti_calibration(os.path.join(root, "calib.txt"), kcal)
     write_kitti_poses(os.path.join(root, "ground-truth-poses.txt"), poses)
+    tracklet_path = os.path.join(root, "tracklets.txt")
+    if os.path.exists(tracklet_path):
+        os.remove(tracklet_path)
 
     for f in range(num_frames):
         fr = render_stereo_frame(
@@ -415,8 +418,11 @@ def write_kitti_sequence(
                 os.path.join(root, "velodyne", f"{f:06d}.bin"), pts
             )
 
-        # segmentation dumps for dynamic objects ("car", VOC id 7)
+        # segmentation dumps for dynamic objects ("car", VOC id 7) + KITTI
+        # tracking-format GT labels (for the tracklet evaluation)
         dyn_dets = []
+        tracklet_lines = []
+        w2c = np.linalg.inv(poses[f])
         for i, box in enumerate(scene.boxes):
             if not box.is_dynamic:
                 continue
@@ -427,7 +433,19 @@ def write_kitti_sequence(
             bbox = BoundingBox(int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max()))
             sub = mask_full[bbox.y0 : bbox.y1 + 1, bbox.x0 : bbox.x1 + 1]
             dyn_dets.append((bbox, 0.98, 7, sub.astype(np.uint8)))
+            # object center in camera frame; dims (h, w, l) from half extents
+            T = box.pose_at(f)
+            loc = (w2c[:3, :3] @ T[:3, 3] + w2c[:3, 3])
+            he = box.half_extents
+            tracklet_lines.append(
+                f"{f} {i} Car 0 0 0.0 {bbox.x0} {bbox.y0} {bbox.x1} "
+                f"{bbox.y1} {2 * he[1]:.3f} {2 * he[0]:.3f} {2 * he[2]:.3f} "
+                f"{loc[0]:.4f} {loc[1]:.4f} {loc[2]:.4f} 0.0"
+            )
         if dyn_dets or with_dynamic:
             write_mnc_dump(os.path.join(root, "seg_image_2/mnc"), f, dyn_dets)
+        if tracklet_lines:
+            with open(os.path.join(root, "tracklets.txt"), "a") as tf:
+                tf.write("\n".join(tracklet_lines) + "\n")
 
     return scene

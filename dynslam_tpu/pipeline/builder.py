@@ -62,6 +62,7 @@ def build_dynslam(
     csv_out_dir: Optional[str] = None,
     min_detection_size_px: Optional[int] = None,
     baseline_m: Optional[float] = None,
+    use_ground_truth_poses: bool = False,
 ) -> Tuple[DynSlam, Input]:
     """Build a fully wired pipeline for a KITTI-layout sequence."""
     config = config or DynSlamConfig()
@@ -152,6 +153,15 @@ def build_dynslam(
             csv_out_dir=csv_out_dir or os.path.join(dataset_root, "csv"),
         )
 
+    gt_poses = None
+    if use_ground_truth_poses:
+        from dynslam_tpu.io.calib import read_kitti_poses
+
+        gt_path = os.path.join(dataset_root, icfg.odometry_fname)
+        gt_poses = read_kitti_poses(gt_path)
+        if frame_offset:
+            gt_poses = gt_poses[frame_offset:]
+
     dyn = DynSlam(
         config,
         engine,
@@ -159,5 +169,6 @@ def build_dynslam(
         sparse_sf_provider=sf_provider,
         instance_reconstructor=instance_reconstructor,
         evaluation=evaluation,
+        ground_truth_poses=gt_poses,
     )
     return dyn, input_

@@ -42,6 +42,7 @@ class DynSlam:
         sparse_sf_provider: Optional[SparseSFProvider] = None,
         instance_reconstructor=None,  # InstanceReconstructor (instances/)
         evaluation=None,  # eval.Evaluation
+        ground_truth_poses: Optional[np.ndarray] = None,
     ):
         self.config = config
         self.static_scene = static_scene
@@ -49,6 +50,10 @@ class DynSlam:
         self.sparse_sf_provider = sparse_sf_provider
         self.instance_reconstructor = instance_reconstructor
         self.evaluation = evaluation
+        #: (N, 4, 4) cam-to-world GT poses — when set, egomotion comes from
+        #: here instead of VO (the reference's groundTruthPoseFpath mode,
+        #: DynSLAMGUI.cpp:1214; scene flow still runs for object motion)
+        self.ground_truth_poses = ground_truth_poses
 
         #: world-to-camera poses, one per processed frame; frame k's pose is
         #: pose_history[k + 1] (index 0 = identity prior, DynSlam.h:213)
@@ -93,7 +98,11 @@ class DynSlam:
                 print("Warning: could not compute scene flow.")
             delta = self.sparse_sf_provider.get_latest_motion()
         else:
-            delta = np.eye(4)  # ground-truth-pose mode handled by caller
+            delta = np.eye(4)
+        if self.ground_truth_poses is not None:
+            k = min(self.current_frame_no, len(self.ground_truth_poses) - 1)
+            gt_w2c = np.linalg.inv(self.ground_truth_poses[k])
+            delta = gt_w2c @ np.linalg.inv(self.pose_history[-1])
         # the reference's GetLastEgomotion is old_c2w^-1 @ new_c2w = the
         # INVERSE of the VO delta (InfiniTamDriver.h:126,133); with it the
         # track state machine's error term ego @ rel is the object's
