@@ -323,15 +323,17 @@ def refine_flow_quad(
 
     def lk(img, x0, y0, solve_y: bool):
         """Align ref into img starting at (x0, y0); returns (x, y).
-        Solves for (dx[, dy, dscale]) per match."""
+        Solves for (dx[, dy, dscale]) per match. Gradients come from
+        precomputed central-difference maps sampled at the same positions
+        (12 gathers/point/iter instead of 20 for resampled differences)."""
+        gx_map = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
+        gy_map = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
 
         def step(carry, _):
             x, y, s = carry
             t = sample_patch_scaled(img, x, y, s)
-            gx = (sample_patch_scaled(img, x + 0.5, y, s)
-                  - sample_patch_scaled(img, x - 0.5, y, s))
-            gy = (sample_patch_scaled(img, x, y + 0.5, s)
-                  - sample_patch_scaled(img, x, y - 0.5, s))
+            gx = sample_patch_scaled(gx_map, x, y, s)
+            gy = sample_patch_scaled(gy_map, x, y, s)
             # d(patch)/d(scale) = offsets . gradient
             gs = gx * off_dx[None, :] + gy * off_dy[None, :]
             r = t - ref
@@ -366,10 +368,12 @@ def refine_flow_quad(
     u2p0 = jnp.round(flow[:, 6]).astype(jnp.float32)
 
     def lk_x_at_row(img, x0, row):
+        gx_map = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
+
         def step(carry, _):
             x = carry
             t = sample_patch(img, x, row)
-            gx = sample_patch(img, x + 0.5, row) - sample_patch(img, x - 0.5, row)
+            gx = sample_patch(gx_map, x, row)
             r = t - ref
             dx = -jnp.sum(gx * r, -1) / (jnp.sum(gx * gx, -1) + 1e-6)
             return x + jnp.clip(dx, -1.0, 1.0), None

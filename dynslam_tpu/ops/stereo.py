@@ -90,7 +90,16 @@ def compute_disparity_jit(
         ham = jnp.where(col < d, 96.0, ham)
         return _box_sum(ham, params.aggregation_radius)
 
-    costs = jax.lax.map(cost_at, jnp.arange(D))  # (D, H, W)
+    # chunked disparity sweep: vmap vectorizes CH disparities per map step
+    # (128 tiny sequential kernels would leave the VPU idle)
+    CH = 16 if D % 16 == 0 else (8 if D % 8 == 0 else 1)
+    if CH > 1:
+        costs = jax.lax.map(
+            lambda d0: jax.vmap(cost_at)(d0 + jnp.arange(CH)),
+            jnp.arange(0, D, CH),
+        ).reshape(D, h, w)
+    else:
+        costs = jax.lax.map(cost_at, jnp.arange(D))  # (D, H, W)
 
     best_d = jnp.argmin(costs, axis=0)  # (H, W) int
     dgrid = jnp.arange(D)[:, None, None]
@@ -122,7 +131,16 @@ def compute_disparity_jit(
         rolled = jnp.roll(cost_plane, -d, axis=1)
         return jnp.where(col >= w - d, jnp.inf, rolled)
 
-    costs_r = jax.lax.map(right_cost_at, (costs, jnp.arange(D)))
+    if CH > 1:
+        costs_r = jax.lax.map(
+            lambda d0: jax.vmap(right_cost_at)(
+                (jax.lax.dynamic_slice_in_dim(costs, d0, CH, 0),
+                 d0 + jnp.arange(CH))
+            ),
+            jnp.arange(0, D, CH),
+        ).reshape(D, h, w)
+    else:
+        costs_r = jax.lax.map(right_cost_at, (costs, jnp.arange(D)))
     best_d_r = jnp.argmin(costs_r, axis=0).astype(jnp.float32)  # (H, W)
 
     # sample right disparity at x - disp(x)

@@ -162,8 +162,10 @@ class MapEngine:
         )
 
     # -- decay / GC -------------------------------------------------------
-    def decay(self) -> int:
-        """Regular per-frame decay (InfiniTamDriver.h:198-206)."""
+    def decay(self, blocking: bool = False):
+        """Regular per-frame decay (InfiniTamDriver.h:198-206). By default
+        the freed-block count stays on device (a host fetch would stall
+        the pipeline); pass blocking=True to get it as an int."""
         if not self.decay_params.enabled:
             return 0
         self.state, n = tsdf.decay(
@@ -171,7 +173,7 @@ class MapEngine:
             jnp.float32(self.decay_params.max_decay_weight),
             jnp.int32(self.decay_params.min_decay_age),
         )
-        return int(n)
+        return int(n) if blocking else n
 
     def decay_catchup(self) -> int:
         """Apply all pending decay regardless of age (DecayCatchup,
