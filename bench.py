@@ -80,6 +80,21 @@ def main():
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     left_np, right_np = render_frames()
+    # the TPU relay in this environment memoizes identical computations;
+    # per-run noise (OS entropy, +-1 gray level) keeps every frame's
+    # computation unique so the timing is honest, without affecting the
+    # pipeline's behavior
+    rng = np.random.default_rng()
+    left_np = np.clip(
+        left_np.astype(np.int16)
+        + rng.integers(-1, 2, left_np.shape, dtype=np.int16),
+        0, 255,
+    ).astype(np.uint8)
+    right_np = np.clip(
+        right_np.astype(np.int16)
+        + rng.integers(-1, 2, right_np.shape, dtype=np.int16),
+        0, 255,
+    ).astype(np.uint8)
 
     intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
     calib = StereoCalibration(0.537150654273, 707.0912)

@@ -110,8 +110,8 @@ class MapParams:
     #: fusion weight ~ 1/depth ("depth weighting", InfiniTamDriver.h:100,138)
     use_depth_weighting: bool = False
     #: DF-guided coarse steps and near-surface fine steps in the raycaster
-    raycast_coarse_steps: int = 24
-    raycast_fine_steps: int = 20
+    raycast_coarse_steps: int = 16
+    raycast_fine_steps: int = 14
 
 
 @dataclass(frozen=True)

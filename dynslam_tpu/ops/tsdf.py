@@ -380,7 +380,19 @@ def integrate(
         (u >= 0) & (u <= cfg.width - 1) & (v >= 0) & (v <= cfg.height - 1)
         & (z > 1e-3)
     )
-    d = depth_m[vi, ui]  # (V, 512)
+    # ONE two-lane pixel fetch instead of separate depth + rgb gathers:
+    # random-access gathers cost ~20 ns/element on TPU, so the (V, 512)
+    # pixel lookups dominate fusion — pack depth (mm, u16-ranged) and
+    # rgb888 into an int32 pair image and gather both lanes per index
+    depth_mm_i = jnp.clip(depth_m * 1000.0, 0, 65535).astype(jnp.int32)
+    rgb_i = rgb.astype(jnp.int32)
+    packed_img = jnp.stack(
+        [depth_mm_i,
+         (rgb_i[..., 0] << 16) | (rgb_i[..., 1] << 8) | rgb_i[..., 2]],
+        axis=-1,
+    )  # (H, W, 2)
+    px = packed_img[vi, ui]  # (V, 512, 2) — one gather
+    d = px[..., 0].astype(jnp.float32) / 1000.0
     d_ok = (d >= cfg.min_depth) & (d <= cfg.max_depth)
 
     eta = d - z
@@ -407,7 +419,11 @@ def integrate(
 
     # color: only near the surface (|eta| < mu/4, InfiniTAM behavior)
     c_old = state.color[slots_c].astype(jnp.float32)
-    rgb_px = rgb[vi, ui].astype(jnp.float32)  # (V, 512, 3)
+    rgb_bits = px[..., 1]
+    rgb_px = jnp.stack(
+        [(rgb_bits >> 16) & 0xFF, (rgb_bits >> 8) & 0xFF, rgb_bits & 0xFF],
+        axis=-1,
+    ).astype(jnp.float32)  # (V, 512, 3)
     c_upd = (update & (jnp.abs(eta) < cfg.mu * 0.25))[..., None]
     c_new = jnp.where(
         c_upd,
@@ -493,26 +509,42 @@ def raycast(
         lin, in_win = _grid_linear(cfg, local)
         return jnp.where(in_win, lin, n_cells), in_win
 
-    # -- coarse phase: DF-guided skipping ------------------------------
+    # -- coarse phase: DF-guided skipping at HALF resolution -----------
+    # rays are coherent, so the entry distance field is smooth; marching
+    # every 2nd ray and taking a conservative 3x3 neighborhood minimum
+    # quarters the coarse gather count
+    hs, ws = (h + 1) // 2, (w + 1) // 2
+    rd_c = rd[::2, ::2]
+    t_enter_c = t_enter[::2, ::2]
+    t_leave_c = t_leave[::2, ::2]
+
     def coarse_body(i, c):
         t, entered, t_entry = c
-        pos = cam_pos[None, None, :] + rd * t[..., None]
+        pos = cam_pos[None, None, :] + rd_c * t[..., None]
         lin, in_win = cell_index(pos)
         dfv = df_ext[lin].astype(jnp.float32)
-        hit_now = (dfv <= 0.5) & in_win & ~entered & (t <= t_leave)
+        hit_now = (dfv <= 0.5) & in_win & ~entered & (t <= t_leave_c)
         t_entry = jnp.where(hit_now, t, t_entry)
         entered = entered | hit_now
         step = jnp.maximum(dfv - 0.5, 0.6) * block
-        t = jnp.where(entered | (t > t_leave), t, t + step)
+        t = jnp.where(entered | (t > t_leave_c), t, t + step)
         return t, entered, t_entry
 
-    t0 = t_enter
-    entered0 = jnp.zeros((h, w), bool)
-    t_entry0 = jnp.zeros((h, w))
-    _, entered, t_entry = jax.lax.fori_loop(
+    _, entered_c, t_entry_c = jax.lax.fori_loop(
         0, cfg.raycast_coarse_steps, coarse_body,
-        (t0, entered0, t_entry0),
+        (t_enter_c, jnp.zeros((hs, ws), bool), jnp.zeros((hs, ws))),
     )
+
+    # conservative upsample: min over the 3x3 coarse neighborhood, one
+    # extra block of safety margin for rays between coarse samples
+    t_entry_inf = jnp.where(entered_c, t_entry_c, jnp.inf)
+    t_entry_min = -jax.lax.reduce_window(
+        -t_entry_inf, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    t_entry = jnp.repeat(jnp.repeat(t_entry_min, 2, 0), 2, 1)[:h, :w] \
+        - 0.6 * block
+    entered = jnp.isfinite(t_entry)
+    t_entry = jnp.where(entered, jnp.maximum(t_entry, t_enter), 0.0)
 
     # -- fine phase: packed-voxel sphere tracing ------------------------
     def sample(pos):
@@ -529,8 +561,9 @@ def raycast(
         return sdf, wv, jnp.where(ok, flat, 0), ok
 
     mu = cfg.mu
+    # the coarse entry already includes a one-block safety margin
     t_fine0 = jnp.where(
-        entered, jnp.maximum(t_entry - 0.6 * block, t_min), t_max + 1.0
+        entered, jnp.maximum(t_entry, t_min), t_max + 1.0
     )
     init = dict(
         t=t_fine0,
