@@ -100,10 +100,44 @@ def detect_features(gray: jnp.ndarray, params: VisualOdometryParams) -> Features
     )
     is_peak = (responses >= local_max) & (responses > params_tau(params))
 
-    masked = jnp.where(is_peak, responses, -jnp.inf).reshape(4, h * w)
-    # approx_max_k uses the TPU's fast approximate top-k (recall ~0.95);
-    # losing a few low-ranked corners is harmless, exact sort is not free
-    scores, flat_idx = jax.lax.approx_max_k(masked, per_class)
+    masked = jnp.where(is_peak, responses, -jnp.inf)
+
+    # viso2-style bucketed selection (bucket.max_features per cell,
+    # DynSLAMGUI.cpp:1238-1251): per-class, keep the best features of each
+    # spatial bucket, then take the global top per_class among bucket
+    # winners. Spreads features across the image (better-conditioned
+    # egomotion) AND turns one 466k-element sort into small tile sorts.
+    bs = 32  # bucket side in px
+    hp = -(-h // bs) * bs
+    wp = -(-w // bs) * bs
+    n_tiles = (hp // bs) * (wp // bs)
+    # per-bucket keep count: viso2's 15-per-50x50 scales to ~8 per 32x32;
+    # raised when there are too few buckets to fill per_class twice over
+    bk = min(bs * bs, max(8, -(-2 * per_class // n_tiles)))
+    padded = jnp.full((4, hp, wp), -jnp.inf).at[:, :h, :w].set(masked)
+    tiles = padded.reshape(4, hp // bs, bs, wp // bs, bs)
+    tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(4, -1, bs * bs)
+    tscore, tidx = jax.lax.top_k(tiles, bk)  # (4, T, bk)
+    n_tiles_x = wp // bs
+    tile_id = jax.lax.broadcasted_iota(jnp.int32, tscore.shape, 1)
+    ty = (tile_id // n_tiles_x) * bs + tidx // bs
+    tx = (tile_id % n_tiles_x) * bs + tidx % bs
+    cand_flat = (ty * w + jnp.minimum(tx, w - 1)).reshape(4, -1)
+    cand_score = tscore.reshape(4, -1)
+
+    k_eff = min(per_class, cand_score.shape[1])
+    scores_k, sel = jax.lax.top_k(cand_score, k_eff)
+    flat_k = jnp.take_along_axis(cand_flat, sel, axis=1)
+    if k_eff < per_class:
+        pad = per_class - k_eff
+        scores = jnp.concatenate(
+            [scores_k, jnp.full((4, pad), -jnp.inf)], axis=1
+        )
+        flat_idx = jnp.concatenate(
+            [flat_k, jnp.zeros((4, pad), flat_k.dtype)], axis=1
+        )
+    else:
+        scores, flat_idx = scores_k, flat_k
     yi = flat_idx // w
     xi_ = flat_idx % w
 
