@@ -6,7 +6,7 @@ our CSV outputs for A/B comparison.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import Sequence
 
 from dynslam_tpu.config import VoxelDecayParams
 

@@ -25,7 +25,7 @@ world-to-cam pose to chain_k.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

@@ -11,7 +11,7 @@ pipeline boundary.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np

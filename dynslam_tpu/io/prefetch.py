@@ -9,7 +9,6 @@ prefetched result when available and immediately schedules the next one.
 
 from __future__ import annotations
 
-import threading
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Optional
 

@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from dynslam_tpu.config import StereoCalibration, VisualOdometryParams
+from dynslam_tpu.config import VisualOdometryParams
 from dynslam_tpu.utils import se3
 
 

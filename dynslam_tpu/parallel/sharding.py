@@ -15,7 +15,7 @@ everything degenerates to the single-device program.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

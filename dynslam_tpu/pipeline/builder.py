@@ -10,7 +10,7 @@ import dataclasses
 import os
 from typing import Optional, Tuple
 
-from dynslam_tpu.config import DynSlamConfig, Intrinsics, StereoCalibration
+from dynslam_tpu.config import DynSlamConfig
 from dynslam_tpu.io.calib import read_kitti_calibration
 from dynslam_tpu.io.depth_providers import (
     PrecomputedDepthProvider,

@@ -11,19 +11,12 @@ preview images and scalars cross back to the host.
 from __future__ import annotations
 
 import enum
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dynslam_tpu.config import (
-    DynSlamConfig,
-    Intrinsics,
-    MapParams,
-    SceneParams,
-    VoxelDecayParams,
-)
+from dynslam_tpu.config import DynSlamConfig, Intrinsics, VoxelDecayParams
 from dynslam_tpu.ops import depth as depth_ops
 from dynslam_tpu.ops import tsdf
 

@@ -13,7 +13,7 @@ block with one voxel layer from its +x/+y/+z neighbors.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

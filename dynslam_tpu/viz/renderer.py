@@ -7,7 +7,7 @@ interest and chase-cam sequences along the trajectory, written as PNGs.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 
