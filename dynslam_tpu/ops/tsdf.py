@@ -69,6 +69,20 @@ def unpack_weight(v: jnp.ndarray) -> jnp.ndarray:
     return (v & 0xFFFF).astype(jnp.float32) / WEIGHT_SCALE
 
 
+def pack_rgb(rgb_f32: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) float [0,255] -> packed int32 0x00RRGGBB."""
+    c = jnp.clip(rgb_f32 + 0.5, 0, 255).astype(jnp.int32)
+    return (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+
+
+def unpack_rgb(packed: jnp.ndarray) -> jnp.ndarray:
+    """packed int32 -> (..., 3) uint8."""
+    return jnp.stack(
+        [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF],
+        axis=-1,
+    ).astype(jnp.uint8)
+
+
 @dataclass(frozen=True)
 class TsdfConfig:
     """Static engine configuration (shapes + scene constants)."""
@@ -105,7 +119,7 @@ class TsdfState(NamedTuple):
     """The map: a struct-of-arrays voxel-block pool (a jax pytree)."""
 
     tsdf_w: jnp.ndarray  # (P, 512) int32 packed (sdf_i16 << 16 | w_u16)
-    color: jnp.ndarray  # (P, 512, 3) uint8
+    color: jnp.ndarray  # (P, 512) int32 packed 0x00RRGGBB
     block_coords: jnp.ndarray  # (P, 3) int32 world block coords
     alloc_frame: jnp.ndarray  # (P,) int32 frame the block was allocated
     last_seen: jnp.ndarray  # (P,) int32 frame the block was last visible
@@ -125,13 +139,21 @@ class TsdfState(NamedTuple):
 
 def create_state(cfg: TsdfConfig) -> TsdfState:
     P = cfg.pool_capacity
+    # the LAST pool row is a reserved scratch slot: marked valid so the
+    # allocator never hands it out, with far-away coords so it is never
+    # in any local window or frustum. Padded grid steps of the Pallas
+    # fusion kernel read/write it harmlessly.
+    valid = jnp.zeros((P,), bool).at[P - 1].set(True)
+    coords = jnp.zeros((P, 3), jnp.int32).at[P - 1].set(
+        jnp.asarray([1 << 24, 1 << 24, 1 << 24], jnp.int32)
+    )
     return TsdfState(
         tsdf_w=jnp.full((P, BLOCK3), EMPTY_VOXEL, jnp.int32),
-        color=jnp.zeros((P, BLOCK3, 3), jnp.uint8),
-        block_coords=jnp.zeros((P, 3), jnp.int32),
+        color=jnp.zeros((P, BLOCK3), jnp.int32),
+        block_coords=coords,
         alloc_frame=jnp.zeros((P,), jnp.int32),
         last_seen=jnp.zeros((P,), jnp.int32),
-        valid=jnp.zeros((P,), bool),
+        valid=valid,
         decayed_blocks=jnp.int32(0),
     )
 
@@ -418,7 +440,7 @@ def integrate(
     packed_new = pack_voxel(t_new, w_new)
 
     # color: only near the surface (|eta| < mu/4, InfiniTAM behavior)
-    c_old = state.color[slots_c].astype(jnp.float32)
+    c_old = unpack_rgb(state.color[slots_c]).astype(jnp.float32)
     rgb_bits = px[..., 1]
     rgb_px = jnp.stack(
         [(rgb_bits >> 16) & 0xFF, (rgb_bits >> 8) & 0xFF, rgb_bits & 0xFF],
@@ -435,9 +457,7 @@ def integrate(
     slot_safe = jnp.where(slots_mask, slots, cfg.pool_capacity)
     return state._replace(
         tsdf_w=state.tsdf_w.at[slot_safe].set(packed_new, mode="drop"),
-        color=state.color.at[slot_safe].set(
-            jnp.clip(c_new + 0.5, 0, 255).astype(jnp.uint8), mode="drop"
-        ),
+        color=state.color.at[slot_safe].set(pack_rgb(c_new), mode="drop"),
         last_seen=state.last_seen.at[slot_safe].set(frame_idx, mode="drop"),
     )
 
@@ -606,7 +626,7 @@ def raycast(
     points = cam_pos[None, None, :] + rd * out["hit_t"][..., None]
     color = jnp.where(
         hit[..., None],
-        state.color.reshape(-1, 3)[out["hit_flat"]],
+        unpack_rgb(state.color.reshape(-1)[out["hit_flat"]]),
         jnp.zeros(3, jnp.uint8),
     )
     wgt = jnp.where(hit, unpack_weight(packed_flat[out["hit_flat"]]), 0.0)
@@ -641,6 +661,8 @@ def decay(
     new_packed = jnp.where(kill, EMPTY_VOXEL, state.tsdf_w)
 
     emptied = eligible & jnp.all((new_packed & 0xFFFF) == 0, axis=1)
+    # never reclaim the reserved scratch row (create_state)
+    emptied = emptied.at[cfg.pool_capacity - 1].set(False)
     n_freed = jnp.sum(emptied)
     state = state._replace(
         tsdf_w=new_packed,
@@ -655,16 +677,16 @@ def decay(
 # ---------------------------------------------------------------------------
 
 #: bytes per voxel for the memory CSV: packed int32 sdf+weight (4 B) +
-#: 3x uint8 color = 7 B/voxel (the reference reports sizeof(ITMVoxel) = 8;
-#: we report our actual footprint, InfiniTamDriver.h:241-250 semantics)
-BYTES_PER_VOXEL = 7
+#: packed int32 rgb (4 B) = 8 B/voxel — incidentally matching the
+#: reference's sizeof(ITMVoxel_s_rgb) (InfiniTamDriver.h:241-250)
+BYTES_PER_VOXEL = 8
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def memory_stats(cfg: TsdfConfig, state: TsdfState):
     """(used_blocks, used_bytes, cum_decayed_blocks, saved_bytes) —
     InfiniTamDriver.h:241-250 / GetSavedDecayMemoryBytes semantics."""
-    used = jnp.sum(state.valid)
+    used = jnp.sum(state.valid) - 1  # minus the reserved scratch row
     block_bytes = BLOCK3 * BYTES_PER_VOXEL
     return (
         used,

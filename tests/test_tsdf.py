@@ -33,6 +33,11 @@ CFG = tsdf.TsdfConfig(
 )
 
 
+def _used(state):
+    """Allocated block count excluding the reserved scratch row."""
+    return int(tsdf.memory_stats(CFG, state)[0])
+
+
 def _fuse_frame(state, depth_m, rgb, pose_c2w, frame_idx):
     c2w = jnp.asarray(pose_c2w, jnp.float32)
     w2c = jnp.asarray(np.linalg.inv(pose_c2w), jnp.float32)
@@ -70,7 +75,7 @@ class TestAllocation:
         frames = _scene_frames(1)
         depth, rgb, pose = frames[0]
         state, grid, origin, (n_new, n_dropped) = _fuse_frame(state, depth, rgb, pose, 0)
-        used = int(jnp.sum(state.valid))
+        used = _used(state)
         assert used > 50, "should allocate blocks along visible surfaces"
         assert used < CFG.pool_capacity / 2, "should not allocate everywhere"
         assert int(n_dropped) == 0
@@ -79,9 +84,9 @@ class TestAllocation:
         state = tsdf.create_state(CFG)
         depth, rgb, pose = _scene_frames(1)[0]
         state, *_ = _fuse_frame(state, depth, rgb, pose, 0)
-        used1 = int(jnp.sum(state.valid))
+        used1 = _used(state)
         state, _, _, (n_new, _) = _fuse_frame(state, depth, rgb, pose, 1)
-        used2 = int(jnp.sum(state.valid))
+        used2 = _used(state)
         assert used2 == used1
         assert int(n_new) == 0
 
@@ -90,7 +95,7 @@ class TestAllocation:
         zero = np.zeros((H, W), np.float32)
         rgb = np.zeros((H, W, 3), np.uint8)
         state, _, _, (n_new, _) = _fuse_frame(state, zero, rgb, np.eye(4), 0)
-        assert int(jnp.sum(state.valid)) == 0 and int(n_new) == 0
+        assert _used(state) == 0 and int(n_new) == 0
 
 
 class TestFusionRaycast:
@@ -169,17 +174,17 @@ class TestDecay:
         state = tsdf.create_state(CFG)
         depth, rgb, pose = _scene_frames(1)[0]
         state, *_ = _fuse_frame(state, depth, rgb, pose, 0)
-        used0 = int(jnp.sum(state.valid))
+        used0 = _used(state)
         # young blocks: nothing decays
         state, n = tsdf.decay(CFG, state, jnp.int32(5), jnp.float32(1.0),
                               jnp.int32(100))
         assert int(n) == 0
-        assert int(jnp.sum(state.valid)) == used0
+        assert _used(state) == used0
         # past min age: weight-1 voxels die, single-view blocks all die
         state, n = tsdf.decay(CFG, state, jnp.int32(200), jnp.float32(1.0),
                               jnp.int32(100))
         assert int(n) == used0
-        assert int(jnp.sum(state.valid)) == 0
+        assert _used(state) == 0
         assert int(state.decayed_blocks) == used0
 
     def test_decay_spares_heavy_voxels(self):
@@ -187,11 +192,11 @@ class TestDecay:
         depth, rgb, pose = _scene_frames(1)[0]
         for i in range(3):  # weight 3 > max_decay_weight 1
             state, *_ = _fuse_frame(state, depth, rgb, pose, i)
-        used0 = int(jnp.sum(state.valid))
+        used0 = _used(state)
         state, n = tsdf.decay(CFG, state, jnp.int32(500), jnp.float32(1.0),
                               jnp.int32(100))
         # band-edge voxels may only have been touched once; most blocks stay
-        assert int(jnp.sum(state.valid)) > used0 * 0.5
+        assert _used(state) > used0 * 0.5
 
     def test_force_all_ignores_age(self):
         state = tsdf.create_state(CFG)
@@ -199,7 +204,7 @@ class TestDecay:
         state, *_ = _fuse_frame(state, depth, rgb, pose, 0)
         state, n = tsdf.decay(CFG, state, jnp.int32(1), jnp.float32(1.0),
                               jnp.int32(10_000), force_all=True)
-        assert int(jnp.sum(state.valid)) == 0
+        assert _used(state) == 0
 
     def test_freed_slots_reusable(self):
         state = tsdf.create_state(CFG)
@@ -208,7 +213,7 @@ class TestDecay:
         state, _ = tsdf.decay(CFG, state, jnp.int32(1), jnp.float32(1.0),
                               jnp.int32(0), force_all=True)
         state, _, _, (n_new, n_dropped) = _fuse_frame(state, depth, rgb, pose, 2)
-        assert int(jnp.sum(state.valid)) > 50
+        assert _used(state) > 50
         assert int(n_dropped) == 0
 
 
