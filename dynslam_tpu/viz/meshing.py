@@ -82,7 +82,10 @@ def extract_mesh(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Marching tetrahedra over the allocated blocks.
     Returns (vertices (V, 3) float32 in meters, triangles (T, 3) int32)."""
-    valid = np.asarray(state.valid)
+    valid = np.asarray(state.valid).copy()
+    # exclude the reserved scratch row (far-away coords, empty voxels)
+    coords_all = np.asarray(state.block_coords)
+    valid &= (np.abs(coords_all) < (1 << 20)).all(axis=1)
     if valid.sum() == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     packed = np.asarray(state.tsdf_w)[valid]

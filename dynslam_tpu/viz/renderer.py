@@ -68,9 +68,11 @@ def render_orbit(
 
     os.makedirs(out_dir, exist_ok=True)
     if center is None:
-        # default: look at the centroid of the allocated blocks
+        # default: look at the centroid of the allocated blocks (the
+        # reserved far-away scratch row is excluded)
         valid = np.asarray(engine.state.valid)
         coords = np.asarray(engine.state.block_coords)[valid]
+        coords = coords[(np.abs(coords) < (1 << 20)).all(axis=1)]
         center = (
             (coords.mean(axis=0) + 0.5) * engine.cfg.block_size
             if len(coords)
