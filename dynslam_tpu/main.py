@@ -55,6 +55,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="write raycast preview PNGs every k frames")
     p.add_argument("--save_mesh", action="store_true", default=False)
     p.add_argument("--cpu", action="store_true", default=False)
+    p.add_argument("--tiny", action="store_true", default=False,
+                   help="small pools/feature counts (tests, small inputs)")
     return p
 
 
@@ -76,7 +78,26 @@ def main(argv=None) -> int:
     from dynslam_tpu.pipeline.builder import build_dynslam
     from dynslam_tpu.pipeline.mapping import PreviewType
 
-    cfg = DynSlamConfig(
+    if args.tiny:
+        from dynslam_tpu.config import (
+            InstanceMapParams, MapParams, StereoMatcherParams,
+            VisualOdometryParams,
+        )
+
+        base = DynSlamConfig(
+            map=MapParams(pool_capacity=16384, local_dims=(80, 32, 80),
+                          max_new_blocks_per_frame=4096),
+            instance_map=InstanceMapParams(
+                blocks_per_object=1024, local_dims=(48, 24, 64),
+                max_new_blocks_per_frame=512,
+            ),
+            vo=VisualOdometryParams(max_candidates=1024, max_matches=512,
+                                    ransac_iters=60, max_disparity=64),
+            stereo=StereoMatcherParams(max_disparity=64),
+        )
+    else:
+        base = DynSlamConfig()
+    cfg = base.replace(
         dynamic_mode=args.dynamic_mode,
         use_dispnet=args.use_dispnet,
         fusion_every=args.fusion_every,
