@@ -57,6 +57,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true", default=False)
     p.add_argument("--tiny", action="store_true", default=False,
                    help="small pools/feature counts (tests, small inputs)")
+    p.add_argument("--checkpoint_out", default=None,
+                   help="write a map+trajectory checkpoint here at the end")
+    p.add_argument("--resume_from", default=None,
+                   help="resume the static map + trajectory from a checkpoint")
+    p.add_argument("--debug_numerics", action="store_true", default=False,
+                   help="enable jax_debug_nans (the per-frame CUDA error "
+                        "barrier's numerical-safety analogue)")
     return p
 
 
@@ -66,6 +73,10 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_numerics:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     import dataclasses
 
@@ -134,6 +145,12 @@ def main(argv=None) -> int:
     )
 
     n = 0
+    if args.resume_from:
+        from dynslam_tpu.pipeline.checkpoint import load_checkpoint
+
+        n = load_checkpoint(args.resume_from, dyn)
+        input_.frame_idx = input_.frame_offset + n
+        print(f"[resumed from {args.resume_from} at frame {n}]")
     while dyn.process_frame(input_):
         ms = dyn.last_frame_ms()
         print(f"[Finished frame {n} in {ms:.1f} ms @ "
@@ -151,6 +168,11 @@ def main(argv=None) -> int:
         if args.frame_limit and n >= args.frame_limit:
             break
 
+    if args.checkpoint_out:
+        from dynslam_tpu.pipeline.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint_out, dyn)
+        print(f"[checkpoint written to {args.checkpoint_out}]")
     dyn.finalize()
     if dyn.evaluation is not None:
         dyn.evaluation.close()
