@@ -24,9 +24,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              model_axis: int = 1) -> Mesh:
-    """A ("data", "model") mesh over the first n devices."""
-    devs = jax.devices()
+              model_axis: int = 1,
+              backend: Optional[str] = None) -> Mesh:
+    """A ("data", "model") mesh over the first n devices (of `backend`)."""
+    devs = jax.devices(backend) if backend else jax.devices()
     n = n_devices or len(devs)
     assert n % model_axis == 0, "n_devices must divide by model_axis"
     arr = np.array(devs[:n]).reshape(n // model_axis, model_axis)
