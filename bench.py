@@ -164,6 +164,14 @@ def main():
     prev_raycast.depth.block_until_ready()
     fps = (N_FRAMES - WARMUP - 1) / (time.perf_counter() - t_steady)
     used = engine.get_used_block_count()
+    # secondary metric (BASELINE.json): TSDF fusion+raycast voxel throughput
+    vox_per_frame = (
+        engine.cfg.max_visible_blocks * 512  # fused voxels per frame
+        + W * H * (engine.cfg.raycast_coarse_steps / 4
+                   + engine.cfg.raycast_fine_steps)  # ray samples
+    )
+    print(f"[bench] ~{vox_per_frame * fps / 1e6:.0f} M voxel-ops/s "
+          f"(fusion+raycast)", file=sys.stderr)
     print(
         f"[bench] steady-state: {fps:.2f} FPS over {N_FRAMES - WARMUP - 1} frames; "
         f"map {used} blocks", file=sys.stderr,

@@ -570,7 +570,6 @@ def raycast(
     def sample(pos):
         lin, in_win = cell_index(pos)
         slot = grid_ext[lin]
-        dfv = df_ext[lin].astype(jnp.float32)
         vox_c = jnp.floor(pos / cfg.voxel_size).astype(jnp.int32)
         lv = vox_c - (jnp.floor(pos / block).astype(jnp.int32)) * BLOCK
         vidx = (lv[..., 0] * BLOCK + lv[..., 1]) * BLOCK + lv[..., 2]
@@ -579,7 +578,7 @@ def raycast(
         packed = jnp.where(ok, packed_flat[flat], EMPTY_VOXEL)
         sdf = unpack_sdf(packed)
         wv = unpack_weight(packed)
-        return sdf, wv, jnp.where(ok, flat, 0), ok, dfv
+        return sdf, wv, jnp.where(ok, flat, 0), ok
 
     mu = cfg.mu
     # the coarse entry already includes a one-block safety margin
@@ -598,7 +597,7 @@ def raycast(
     def fine_body(i, c):
         active = ~c["found"] & (c["t"] <= t_leave)
         pos = cam_pos[None, None, :] + rd * c["t"][..., None]
-        sdf, wv, flat, alloc, dfv = sample(pos)
+        sdf, wv, flat, alloc = sample(pos)
         confident = alloc & (wv > 0)
         crossing = (c["prev_sdf"] > 0.0) & (sdf <= 0.0) & confident & active
         denom = c["prev_sdf"] - sdf
@@ -610,13 +609,10 @@ def raycast(
         c["hit_flat"] = jnp.where(crossing, flat, c["hit_flat"])
         c["found"] = c["found"] | crossing
 
-        # sphere-trace inside allocated bands; DF-leap across gaps (a ray
-        # can pierce a foreground band without crossing and still reach
-        # the background within the fine budget)
         step = jnp.where(
             confident,
             jnp.maximum(sdf * mu * 0.9, cfg.voxel_size * 1.5),
-            jnp.maximum(dfv - 0.5, 0.6) * block,
+            0.75 * block,
         )
         c["prev_sdf"] = jnp.where(confident, sdf, 1.0)
         c["prev_t"] = c["t"]
@@ -631,7 +627,7 @@ def raycast(
     # fetch color/weight at the INTERPOLATED hit voxel (the crossing
     # sample can sit a step behind the surface, outside the narrow
     # |eta| < mu/4 band where color is fused)
-    _, _, hit_flat, hit_ok, _ = sample(points)
+    _, _, hit_flat, hit_ok = sample(points)
     hit_flat = jnp.where(hit_ok, hit_flat, out["hit_flat"])
     color = jnp.where(
         hit[..., None],

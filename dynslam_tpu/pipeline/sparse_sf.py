@@ -79,8 +79,16 @@ class SparseSFProvider:
                 flow, valid, self.calib_vec, key,
                 jnp.zeros(6, jnp.float32), self.params,
             )
-            # keep everything on device; hosts syncs are deferred to the
-            # accessors (estimate_motion already yields identity on failure)
+            # keep everything on device; host syncs are deferred to the
+            # accessors. On estimation failure, HOLD the last successful
+            # motion (libviso2's getMotion keeps returning the last
+            # computed Tr_delta, so the reference's pose chain effectively
+            # coasts on constant velocity too) — selected on device, no sync
+            if getattr(self, "_held_motion", None) is None:
+                self._held_motion = jnp.eye(4, dtype=jnp.float32)
+            self._held_motion = jnp.where(
+                est.success, est.matrix, self._held_motion
+            )
             self._latest_flow_dev = (flow, valid)
             self._latest_flow = None
             self._latest_est = est
@@ -101,18 +109,18 @@ class SparseSFProvider:
         return self._latest_flow
 
     def get_latest_motion(self) -> np.ndarray:
-        """4x4 T_cur<-prev; identity if estimation failed (the reference
-        logs a warning and reuses nothing, DynSlam.cpp:80-82). Syncs."""
-        if getattr(self, "_latest_est", None) is None:
+        """4x4 T_cur<-prev; the last successful estimate when the current
+        frame failed (libviso2 getMotion semantics). Syncs."""
+        if getattr(self, "_held_motion", None) is None:
             return np.eye(4)
-        return np.asarray(self._latest_est.matrix)
+        return np.asarray(self._held_motion)
 
     def get_latest_motion_device(self):
         """Device-resident 4x4 delta — lets the pose chain stay on the
         accelerator (no host round trip in the hot loop)."""
-        if getattr(self, "_latest_est", None) is None:
+        if getattr(self, "_held_motion", None) is None:
             return jnp.eye(4, dtype=jnp.float32)
-        return self._latest_est.matrix
+        return self._held_motion
 
     def motion_available(self) -> bool:
         return getattr(self, "_latest_est", None) is not None and bool(
