@@ -58,7 +58,8 @@ class SyntheticScene:
     max_range: float = 80.0
 
     @staticmethod
-    def default_scene(with_dynamic: bool = False, seed: int = 0) -> "SyntheticScene":
+    def default_scene(with_dynamic: bool = False, seed: int = 0,
+                      n_dynamic: int = 1) -> "SyntheticScene":
         rng = np.random.default_rng(seed)
         boxes = []
         # "buildings": rows of boxes flanking a corridor along +z
@@ -91,6 +92,18 @@ class SyntheticScene:
                     is_dynamic=True,
                 )
             )
+            if n_dynamic >= 2:
+                # oncoming car in the opposite lane
+                pose2 = np.eye(4)
+                pose2[:3, 3] = [-2.2, 1.65 - 0.75, 16.0]
+                boxes.append(
+                    Box(
+                        np.array([0.9, 0.75, 2.1]),
+                        pose2,
+                        velocity=np.array([0.0, 0.0, -0.9]),
+                        is_dynamic=True,
+                    )
+                )
         return SyntheticScene(boxes=boxes)
 
 
@@ -349,6 +362,7 @@ def write_kitti_sequence(
     intrinsics: Optional[Intrinsics] = None,
     calib: Optional[StereoCalibration] = None,
     with_dynamic: bool = False,
+    n_dynamic: int = 1,
     write_velodyne: bool = True,
     write_dispnet: bool = False,
     write_elas_xml: bool = True,
@@ -365,7 +379,8 @@ def write_kitti_sequence(
     if calib is None:
         calib = StereoCalibration(baseline_m=0.5, focal_length_px=intrinsics.fx)
 
-    scene = SyntheticScene.default_scene(with_dynamic=with_dynamic, seed=seed)
+    scene = SyntheticScene.default_scene(with_dynamic=with_dynamic, seed=seed,
+                                         n_dynamic=n_dynamic)
     poses = straight_trajectory(num_frames)
     kcal = make_calibration(intrinsics, calib)
 

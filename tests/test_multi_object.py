@@ -1,0 +1,54 @@
+"""Two simultaneous dynamic objects: independent tracks, volumes, tints;
+plus GT-pose pipeline mode."""
+
+import numpy as np
+import pytest
+
+from dynslam_tpu.instances.track import TrackState
+from dynslam_tpu.io.calib import read_kitti_poses
+from dynslam_tpu.io.synthetic import write_kitti_sequence
+from dynslam_tpu.pipeline.builder import build_dynslam
+from tests.test_dynamic_pipeline import dynamic_config
+
+W, H = 160, 120
+
+
+def test_two_cars_tracked_separately(tmp_path):
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=6, width=W, height=H,
+                         with_dynamic=True, n_dynamic=2)
+    dyn, inp = build_dynslam(root, dynamic_config(), with_instances=True,
+                             min_detection_size_px=8)
+    while dyn.process_frame(inp):
+        pass
+    tracks = list(dyn.instance_reconstructor.tracker.active_tracks.values())
+    assert len(tracks) == 2
+    ids = sorted(t.id for t in tracks)
+    assert ids == [0, 1]
+    dynamic_tracks = [t for t in tracks if t.state == TrackState.DYNAMIC]
+    assert len(dynamic_tracks) >= 1  # oncoming car is unambiguous
+    recon = [t for t in tracks if t.has_reconstruction()]
+    assert len(recon) >= 1
+    for t in recon:
+        assert t.reconstruction.get_used_block_count() > 30
+    # both silhouettes cut from the fused view
+    view_depth = np.asarray(dyn.static_scene._view_depth_m)
+    for det in dyn.get_latest_seg_result().instance_detections:
+        m = det.delete_mask.to_full_frame(H, W)
+        assert (view_depth[m] == 0).mean() > 0.9
+
+
+def test_ground_truth_pose_mode(tmp_path):
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=4, width=W, height=H)
+    from tests.test_pipeline import small_config
+
+    dyn, inp = build_dynslam(root, small_config(), with_instances=False,
+                             use_ground_truth_poses=True)
+    while dyn.process_frame(inp):
+        pass
+    gt = read_kitti_poses(root + "/ground-truth-poses.txt")
+    for k in range(4):
+        est_c2w = np.linalg.inv(dyn.pose_history[k + 1])
+        np.testing.assert_allclose(est_c2w[:3, 3], gt[k][:3, 3], atol=1e-4)
+    assert dyn.static_scene.get_used_block_count() > 100
