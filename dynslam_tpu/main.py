@@ -57,6 +57,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true", default=False)
     p.add_argument("--tiny", action="store_true", default=False,
                    help="small pools/feature counts (tests, small inputs)")
+    p.add_argument("--prefetch", action="store_true", default=False,
+                   help="background-thread input prefetching (std::async"
+                        " IO-overlap equivalent)")
     p.add_argument("--min_detection_size", type=int, default=None,
                    help="min detection side in px (default: reference's 45)")
     p.add_argument("--checkpoint_out", default=None,
@@ -145,6 +148,7 @@ def main(argv=None) -> int:
         with_evaluation=args.enable_evaluation,
         csv_out_dir=args.csv_out_dir or os.path.join(args.out, "csv"),
         min_detection_size_px=args.min_detection_size,
+        use_prefetch=args.prefetch,
     )
 
     n = 0

@@ -63,6 +63,7 @@ def build_dynslam(
     min_detection_size_px: Optional[int] = None,
     baseline_m: Optional[float] = None,
     use_ground_truth_poses: bool = False,
+    use_prefetch: bool = False,
 ) -> Tuple[DynSlam, Input]:
     """Build a fully wired pipeline for a KITTI-layout sequence."""
     config = config or DynSlamConfig()
@@ -117,6 +118,16 @@ def build_dynslam(
         dataset_root, icfg, depth_provider, (width, height), stereo_calib,
         frame_offset, config.scale,
     )
+    if use_prefetch:
+        from dynslam_tpu.io.prefetch import PrefetchingInput
+
+        input_ = PrefetchingInput(
+            input_,
+            prefetch_seg_folder=(
+                os.path.join(dataset_root, icfg.segmentation_folder)
+                if config.dynamic_mode else None
+            ),
+        )
 
     # map engine
     engine = MapEngine(engine_config_from(config), config.decay, intr)
