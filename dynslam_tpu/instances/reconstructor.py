@@ -123,7 +123,6 @@ class InstanceReconstructor:
         egomotion = dyn_slam.get_last_egomotion()
         rgb = static_engine._view_rgb
         depth = static_engine._view_depth_m
-        import jax.numpy as jnp
 
         for track in list(self.tracker.active_tracks.values()):
             if track.end_time != self.frame_idx:
