@@ -190,6 +190,13 @@ def main(argv=None) -> int:
         tris = dyn.save_static_map(os.path.join(args.out, "static_map.obj"))
         print(f"[saved static map mesh: {tris} triangles]")
 
+    if dyn.instance_reconstructor is not None:
+        for t in dyn.instance_reconstructor.tracker.active_tracks.values():
+            vol = (t.reconstruction.get_used_block_count()
+                   if t.has_reconstruction() else 0)
+            print(f"[track #{t.id} {t.class_name} {t.state.value}: "
+                  f"{len(t.frames)} frames, {t.fused_frames} fused, "
+                  f"{vol} blocks]")
     print(dyn.get_timing_report())
     print(f"[map: {dyn.static_scene.get_used_block_count()} blocks, "
           f"{dyn.static_scene.get_used_memory_bytes() / 1e6:.1f} MB; decay "
