@@ -1,0 +1,489 @@
+"""Tile-based Pallas raycaster — InfiniTAM's per-pixel TSDF raycast
+(`trackingController->Prepare` / ITMVisualisationEngine semantics via
+/root/reference/src/DynSLAM/InfiniTamDriver.h:148-158) rebuilt without
+per-sample gathers.
+
+The XLA raycaster in ops/tsdf.py is bound by random-access voxel gathers
+(~20-25 ns/element, PERFORMANCE.md): ~9M gathers/frame => ~220 ms. This
+module replaces gathers with block-granular DMA + MXU one-hot sampling:
+
+1. **Candidate rasterization (XLA, scatter/compare only)**: every visible
+   block's AABB is projected to the image; a separable tile-overlap test
+   plus a per-tile `top_k` by camera depth yields, for each 32x128 image
+   tile, the K nearest candidate blocks (near geometry wins when a tile
+   overflows K).
+2. **Pallas kernel, grid = image tiles**: each tile DMAs its K candidate
+   voxel-block rows (2 KB each) from HBM into VMEM. Marching runs in
+   three phases:
+   - *placement*: per-ray sample positions from the candidate AABB
+     intervals — fixed dt inside blocks, leaps over uncovered gaps
+     (the distance-field skip of the XLA path, done in-register);
+   - *sampling*: each step's 4096 nearest-voxel lookups become ONE
+     (32,128,256)x(256,128) one-hot contraction on the MXU against the
+     stacked candidate blocks (row one-hot = linearized local block id,
+     lane select on the VPU). Unallocated/zero-weight voxels read +1.0;
+   - *crossing*: sign-change detection + linear interpolation over the
+     stored (S, 32, 128) SDF buffer, first (nearest) crossing wins.
+   A post-pass samples color + voxel weight at the interpolated hit
+   (fallback: the crossing sample), so no XLA-side hit gathers remain.
+
+Bit layout notes: pool rows are viewed as (P*4, 128) so HBM slices stay
+128-lane aligned; voxel v = (x*64 + y*8 + z) lives at row x>>1, lane
+(x&1)*64 + y*8 + z.
+
+Parity with ops/tsdf.py::raycast is tested in interpret mode on the CPU
+backend (tests/test_pallas_raycast.py); MapEngine dispatches here for
+full-frame raycasts on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynslam_tpu.ops import tsdf as T
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 32
+TILE_W = 128
+
+_BIG = 1e9
+
+
+def _tile_counts(cfg: T.TsdfConfig):
+    ty = -(-cfg.height // TILE_H)
+    tx = -(-cfg.width // TILE_W)
+    return ty, tx
+
+
+# ---------------------------------------------------------------------------
+# XLA-side candidate rasterization
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_candidates(
+    cfg: T.TsdfConfig,
+    state: T.TsdfState,
+    slots: jnp.ndarray,  # (V,) visible pool slots (from visible_blocks)
+    mask: jnp.ndarray,  # (V,) bool
+    origin: jnp.ndarray,  # (3,) local-window origin (block coords)
+    world_to_cam: jnp.ndarray,
+):
+    """Per-tile candidate block lists: (cand_slot (T,K), linq (T,K*4),
+    bx/by/bz (T*K,)). Sentinel entries use the reserved scratch row."""
+    P = cfg.pool_capacity
+    K = cfg.raycast_cand_k
+    ty_n, tx_n = _tile_counts(cfg)
+    n_tiles = ty_n * tx_n
+    dxd, dyd, dzd = cfg.local_dims
+
+    slots_c = jnp.clip(slots, 0, P - 1)
+    coords = state.block_coords[slots_c]  # (V, 3)
+
+    # project the 8 block corners
+    corner = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+        jnp.float32,
+    )  # (8, 3)
+    pts = (coords[:, None, :].astype(jnp.float32) + corner[None]) \
+        * cfg.block_size  # (V, 8, 3)
+    R, t = world_to_cam[:3, :3], world_to_cam[:3, 3]
+    pc = pts @ R.T + t
+    z = pc[..., 2]
+    z_min = z.min(axis=1)
+    z_max = z.max(axis=1)
+    near = z_min < 0.05  # block reaches behind the near plane
+    zc = jnp.maximum(z, 0.05)
+    u = pc[..., 0] / zc * cfg.fx + cfg.cx
+    v = pc[..., 1] / zc * cfg.fy + cfg.cy
+    u_min = jnp.where(near, -_BIG, u.min(axis=1))
+    u_max = jnp.where(near, _BIG, u.max(axis=1))
+    v_min = jnp.where(near, -_BIG, v.min(axis=1))
+    v_max = jnp.where(near, _BIG, v.max(axis=1))
+
+    ok = mask & (z_max > cfg.min_depth * 0.5) \
+        & (z_min < cfg.max_depth * 1.05 + cfg.mu)
+
+    # separable tile-overlap masks
+    tx0 = jnp.clip(jnp.floor(u_min / TILE_W), 0, tx_n - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(u_max / TILE_W), 0, tx_n - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(v_min / TILE_H), 0, ty_n - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(v_max / TILE_H), 0, ty_n - 1).astype(jnp.int32)
+    off_img = (u_max < 0) | (u_min >= cfg.width) | (v_max < 0) \
+        | (v_min >= cfg.height)
+    ok = ok & ~off_img
+
+    tx_ids = jnp.arange(tx_n, dtype=jnp.int32)
+    ty_ids = jnp.arange(ty_n, dtype=jnp.int32)
+    ovx = (tx_ids[None, :] >= tx0[:, None]) & (tx_ids[None, :] <= tx1[:, None])
+    ovy = (ty_ids[None, :] >= ty0[:, None]) & (ty_ids[None, :] <= ty1[:, None])
+    # (Ty, Tx, V)
+    overlap = ovy.T[:, None, :] & ovx.T[None, :, :] & ok[None, None, :]
+
+    key = jnp.where(overlap, -z_min[None, None, :], -jnp.inf)
+    key = key.reshape(n_tiles, -1)
+    vals, idx = jax.lax.top_k(key, K)  # nearest-first
+    valid = jnp.isfinite(vals)
+    cand_slot = jnp.where(valid, slots_c[idx], P - 1).astype(jnp.int32)
+
+    cand_coords = coords[idx]  # (T, K, 3)
+    local = cand_coords - origin[None, None, :]
+    lin = (local[..., 0] * dyd + local[..., 1]) * dzd + local[..., 2]
+    lin4 = lin[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
+    linq = jnp.where(valid[..., None], lin4, -1)
+    linq = linq.reshape(n_tiles, 1, K * 4).astype(jnp.int32)
+
+    big_c = jnp.int32(1 << 22)
+    bx = jnp.where(valid, cand_coords[..., 0], big_c).reshape(-1)
+    by = jnp.where(valid, cand_coords[..., 1], big_c).reshape(-1)
+    bz = jnp.where(valid, cand_coords[..., 2], big_c).reshape(-1)
+    return cand_slot.reshape(-1), linq, bx, by, bz
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
+    K = cfg.raycast_cand_k
+    voxel = cfg.voxel_size
+    dxd, dyd, dzd = cfg.local_dims
+    dt = 2.5 * voxel
+    t_max_hard = cfg.max_depth * 1.05
+
+    def kernel(
+        cand_ref,  # prefetch (T*K,) int32 pool slots
+        bx_ref,  # prefetch (T*K,) int32
+        by_ref,
+        bz_ref,
+        params_ref,  # (6, 4) f32 SMEM
+        linq_ref,  # (1, 1, K*4) int32 VMEM (this tile's row)
+        tsdfw_hbm,  # (P*4, 128) int32, ANY
+        color_hbm,  # (P*4, 128) int32, ANY
+        t_out_ref,  # (TILE_H, TILE_W) f32
+        color_out_ref,  # (TILE_H, TILE_W) int32
+        weight_out_ref,  # (TILE_H, TILE_W) f32
+        vox_s,  # (K*4, 128) int32 scratch
+        col_s,  # (K*4, 128) int32 scratch
+        tin_s,  # (K, TILE_H, TILE_W) f32
+        tout_s,  # (K, TILE_H, TILE_W) f32
+        ts_s,  # (n_steps, TILE_H, TILE_W) f32
+        sdf_s,  # (n_steps, TILE_H, TILE_W) f32
+        sem,  # DMA sems (2 * K,)
+    ):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        t_lin = ty * pl.num_programs(1) + tx
+
+        # ---- start candidate-row DMAs (voxels + color) -------------------
+        def start_dma(k, _):
+            slot = cand_ref[t_lin * K + k]
+            pltpu.make_async_copy(
+                tsdfw_hbm.at[pl.ds(slot * 4, 4)],
+                vox_s.at[pl.ds(k * 4, 4)], sem.at[k],
+            ).start()
+            pltpu.make_async_copy(
+                color_hbm.at[pl.ds(slot * 4, 4)],
+                col_s.at[pl.ds(k * 4, 4)], sem.at[K + k],
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, K, start_dma, 0, unroll=False)
+
+        # ---- per-ray directions (z-normalized, world frame) --------------
+        fx = params_ref[3, 0]
+        fy = params_ref[3, 1]
+        cx = params_ref[3, 2]
+        cy = params_ref[3, 3]
+        vpix = (ty * TILE_H
+                + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+                ).astype(jnp.float32)
+        upix = (tx * TILE_W
+                + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+                ).astype(jnp.float32)
+        rcx = (upix - cx) / fx
+        rcy = (vpix - cy) / fy
+        rdx = params_ref[0, 0] * rcx + params_ref[0, 1] * rcy + params_ref[0, 2]
+        rdy = params_ref[1, 0] * rcx + params_ref[1, 1] * rcy + params_ref[1, 2]
+        rdz = params_ref[2, 0] * rcx + params_ref[2, 1] * rcy + params_ref[2, 2]
+        camx = params_ref[0, 3]
+        camy = params_ref[1, 3]
+        camz = params_ref[2, 3]
+        t_min = params_ref[5, 0]
+
+        def safe_inv(d):
+            return 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+
+        ix = safe_inv(rdx)
+        iy = safe_inv(rdy)
+        iz = safe_inv(rdz)
+
+        # ---- per-candidate ray/AABB intervals -----------------------------
+        def aabb(k, t0):
+            lox = bx_ref[t_lin * K + k].astype(jnp.float32) * (8.0 * voxel)
+            loy = by_ref[t_lin * K + k].astype(jnp.float32) * (8.0 * voxel)
+            loz = bz_ref[t_lin * K + k].astype(jnp.float32) * (8.0 * voxel)
+            t1x = (lox - camx) * ix
+            t2x = (lox + 8.0 * voxel - camx) * ix
+            t1y = (loy - camy) * iy
+            t2y = (loy + 8.0 * voxel - camy) * iy
+            t1z = (loz - camz) * iz
+            t2z = (loz + 8.0 * voxel - camz) * iz
+            tin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            tout = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            hitbox = (tin <= tout) & (tout > t_min)
+            tin = jnp.where(hitbox, jnp.maximum(tin, t_min), _BIG)
+            tout = jnp.where(hitbox, jnp.minimum(tout, t_max_hard), -_BIG)
+            tin_s[k] = tin
+            tout_s[k] = tout
+            return jnp.minimum(t0, tin)
+
+        t0 = jax.lax.fori_loop(
+            0, K, aabb, jnp.full((TILE_H, TILE_W), _BIG, jnp.float32),
+            unroll=False,
+        )
+
+        # ---- phase A: sample placement (skip uncovered gaps) --------------
+        t_cap = t_max_hard + 2.0 * dt
+        t_cur = jnp.minimum(t0, t_cap)
+        ts_s[0] = t_cur
+
+        def place(s, t_cur):
+            tn = t_cur + dt
+            tin = tin_s[:]
+            tout = tout_s[:]
+            covered = jnp.any(
+                (tin <= tn[None]) & (tn[None] <= tout), axis=0
+            )
+            entry = jnp.min(
+                jnp.where(tin > tn[None], tin, _BIG), axis=0
+            )
+            t_nxt = jnp.where(covered, tn, entry - 0.25 * dt)
+            t_nxt = jnp.minimum(t_nxt, t_cap)
+            ts_s[s] = t_nxt
+            return t_nxt
+
+        jax.lax.fori_loop(1, n_steps, place, t_cur, unroll=False)
+
+        # ---- wait for DMAs, build sample tables ---------------------------
+        def wait_dma(k, _):
+            pltpu.make_async_copy(
+                tsdfw_hbm.at[pl.ds(0, 4)],
+                vox_s.at[pl.ds(k * 4, 4)], sem.at[k],
+            ).wait()
+            pltpu.make_async_copy(
+                color_hbm.at[pl.ds(0, 4)],
+                col_s.at[pl.ds(k * 4, 4)], sem.at[K + k],
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, K, wait_dma, 0, unroll=False)
+
+        packed = vox_s[:]
+        wbits = packed & 0xFFFF
+        sdf_tab = jnp.where(
+            wbits > 0,
+            (packed >> 16).astype(jnp.float32) * (1.0 / T.SDF_SCALE),
+            1.0,
+        )
+        linq = linq_ref[:]  # (1, 1, K*4)
+        ox = params_ref[4, 0]
+        oy = params_ref[4, 1]
+        oz = params_ref[4, 2]
+
+        def sample_ids(t_s):
+            """(lin row id, lane id) of the nearest voxel at cam + rd*t."""
+            posx = camx + rdx * t_s
+            posy = camy + rdy * t_s
+            posz = camz + rdz * t_s
+            px = jnp.floor(posx * (1.0 / voxel)).astype(jnp.int32)
+            py = jnp.floor(posy * (1.0 / voxel)).astype(jnp.int32)
+            pz = jnp.floor(posz * (1.0 / voxel)).astype(jnp.int32)
+            lx = (px >> 3) - ox.astype(jnp.int32)
+            ly = (py >> 3) - oy.astype(jnp.int32)
+            lz = (pz >> 3) - oz.astype(jnp.int32)
+            in_win = (
+                (lx >= 0) & (lx < dxd) & (ly >= 0) & (ly < dyd)
+                & (lz >= 0) & (lz < dzd) & (t_s < t_max_hard)
+            )
+            lin = ((lx * dyd + ly) * dzd + lz) * 4 + ((px & 7) >> 1)
+            lin = jnp.where(in_win, lin, -1)
+            lane = (px & 1) * 64 + (py & 7) * 8 + (pz & 7)
+            return lin, lane
+
+        lane_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_H, TILE_W, 128), 2
+        )
+
+        def sample_table(t_s, table):
+            """One-hot MXU sampling of `table` ((K*4,128) f32) at the
+            nearest voxel; returns (value, in_candidate)."""
+            lin, lane = sample_ids(t_s)
+            oh = (lin[:, :, None] == linq).astype(jnp.float32)
+            w1 = jax.lax.dot_general(
+                oh, table, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TILE_H, TILE_W, 128)
+            ohl = (lane_iota == lane[:, :, None]).astype(jnp.float32)
+            val = jnp.sum(w1 * ohl, axis=2)
+            inany = jnp.sum(oh, axis=2)
+            return val, inany
+
+        # ---- phase B: SDF at every sample ---------------------------------
+        def sample_step(s, _):
+            val, inany = sample_table(ts_s[s], sdf_tab)
+            sdf_s[s] = val + (1.0 - inany)  # outside candidates: +1.0
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, sample_step, 0, unroll=False)
+
+        # ---- phase C: crossing detection -----------------------------------
+        ts_all = ts_s[:]
+        sdf_all = sdf_s[:]
+        ones0 = jnp.ones((1, TILE_H, TILE_W), jnp.float32)
+        prev_sdf = jnp.concatenate([ones0, sdf_all[:-1]], axis=0)
+        prev_t = jnp.concatenate(
+            [ts_all[:1] - dt, ts_all[:-1]], axis=0
+        )
+        # a leap leaves prev far behind: clamp the virtual previous sample
+        prev_t = jnp.maximum(prev_t, ts_all - 1.5 * dt)
+        crossing = (prev_sdf > 0.0) & (sdf_all <= 0.0) \
+            & (ts_all < t_max_hard) & (ts_all > 0.0)
+        frac = prev_sdf / jnp.maximum(prev_sdf - sdf_all, 1e-6)
+        hit_ts = prev_t + (ts_all - prev_t) * frac
+        best_hit = jnp.min(jnp.where(crossing, hit_ts, _BIG), axis=0)
+        best_cross = jnp.min(jnp.where(crossing, ts_all, _BIG), axis=0)
+        found = best_hit < t_max_hard
+
+        # ---- post-pass: color + weight at the hit --------------------------
+        color_tab = col_s[:].astype(jnp.float32)
+        w_tab = wbits.astype(jnp.float32) * (1.0 / T.WEIGHT_SCALE)
+        c_hit, in_hit = sample_table(best_hit, color_tab)
+        w_hit, _ = sample_table(best_hit, w_tab)
+        c_fb, _ = sample_table(best_cross, color_tab)
+        w_fb, _ = sample_table(best_cross, w_tab)
+        ok_hit = in_hit > 0.5
+        color = jnp.where(ok_hit, c_hit, c_fb)
+        wgt = jnp.where(ok_hit, w_hit, w_fb)
+
+        t_out_ref[:] = jnp.where(found, best_hit, 0.0)
+        color_out_ref[:] = jnp.where(
+            found, color, 0.0).astype(jnp.int32)
+        weight_out_ref[:] = jnp.where(found, wgt, 0.0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def raycast_tiled(
+    cfg: T.TsdfConfig,
+    state: T.TsdfState,
+    slots: jnp.ndarray,
+    slots_mask: jnp.ndarray,
+    origin: jnp.ndarray,
+    cam_to_world: jnp.ndarray,
+    intrinsics: jnp.ndarray,  # (4,) fx, fy, cx, cy
+    interpret: bool = False,
+) -> T.Raycast:
+    """Drop-in replacement for ops.tsdf.raycast at the configured frame
+    size (free-camera / rescaled renders use the XLA path)."""
+    P = cfg.pool_capacity
+    K = cfg.raycast_cand_k
+    ty_n, tx_n = _tile_counts(cfg)
+    n_steps = max(cfg.raycast_fine_steps, 8)
+    h, w = cfg.height, cfg.width
+
+    world_to_cam = jnp.linalg.inv(cam_to_world)
+    cand_slot, linq, bx, by, bz = build_candidates(
+        cfg, state, slots, slots_mask, origin, world_to_cam
+    )
+
+    params = jnp.zeros((6, 4), jnp.float32)
+    params = params.at[:3, :3].set(cam_to_world[:3, :3])
+    params = params.at[:3, 3].set(cam_to_world[:3, 3])
+    params = params.at[3].set(intrinsics)
+    params = params.at[4, :3].set(origin.astype(jnp.float32))
+    params = params.at[4, 3].set(cfg.voxel_size)
+    params = params.at[5, 0].set(cfg.min_depth * 0.6)
+    params = params.at[5, 1].set(cfg.max_depth * 1.05)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # cand_slot, bx, by, bz
+        grid=(ty_n, tx_n),
+        in_specs=[
+            pl.BlockSpec((6, 4), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K * 4), lambda i, j, *_: (i * tx_n + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K * 4, 128), jnp.int32),
+            pltpu.VMEM((K * 4, 128), jnp.int32),
+            pltpu.VMEM((K, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((K, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((n_steps, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((n_steps, TILE_H, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * K,)),
+        ],
+    )
+
+    hp, wp = ty_n * TILE_H, tx_n * TILE_W
+    t_img, color_bits, weight = pl.pallas_call(
+        _kernel_factory(cfg, n_steps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        cand_slot, bx, by, bz, params, linq,
+        state.tsdf_w.reshape(P * 4, 128), state.color.reshape(P * 4, 128),
+    )
+    t_img = t_img[:h, :w]
+    color_bits = color_bits[:h, :w]
+    weight = weight[:h, :w]
+
+    # assemble the Raycast (elementwise only)
+    fxv, fyv, cxv, cyv = (intrinsics[0], intrinsics[1], intrinsics[2],
+                          intrinsics[3])
+    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    rc = jnp.stack(
+        [(uu - cxv) / fxv, (vv - cyv) / fyv, jnp.ones((h, w))], -1
+    )
+    rd = rc @ cam_to_world[:3, :3].T
+    hit = t_img > 0.0
+    points = cam_to_world[:3, 3][None, None, :] + rd * t_img[..., None]
+    color = jnp.where(
+        hit[..., None], T.unpack_rgb(color_bits), jnp.zeros(3, jnp.uint8)
+    )
+    return T.Raycast(
+        depth=t_img, points=points, color=color, weight=weight, hit=hit
+    )

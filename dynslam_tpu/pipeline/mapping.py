@@ -56,12 +56,21 @@ class MapEngine:
         decay_params: VoxelDecayParams,
         intrinsics: Optional[Intrinsics] = None,
         use_pallas_fusion: bool = False,
+        use_pallas_raycast: Optional[bool] = None,
     ):
         self.cfg = cfg
         #: opt-in hand-written fusion kernel (ops/pallas_integrate.py);
         #: ~5% faster than the XLA path on v5e and skips blocks closer
         #: than ~2.2 m (fixed sampling window) — see PERFORMANCE.md
         self.use_pallas_fusion = use_pallas_fusion
+        #: tile-based Pallas raycaster (ops/pallas_raycast.py, ~9x the XLA
+        #: path); None = auto (on for TPU backends). Full-frame raycasts
+        #: only — free-camera/rescaled renders keep the XLA path.
+        if use_pallas_raycast is None:
+            import jax
+
+            use_pallas_raycast = jax.default_backend() not in ("cpu",)
+        self.use_pallas_raycast = use_pallas_raycast
         self.decay_params = decay_params
         self.state = tsdf.create_state(cfg)
         intr = intrinsics or Intrinsics(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
@@ -141,9 +150,10 @@ class MapEngine:
                 self.cfg, self.state, slots, mask, self._view_rgb,
                 self._view_depth_m, self.pose_w2c, jnp.int32(self.frame_idx),
             )
-        # the post-allocation grid is valid for any raycast at this frame's
-        # map state; reusing it here saves a rebuild in prepare_next_step
-        self._frame_cache = (origin, grid)
+        # the post-allocation grid/visible-set is valid for any raycast at
+        # this frame's map state; reusing it saves a rebuild in
+        # prepare_next_step
+        self._frame_cache = (origin, grid, slots, mask)
         self.frame_idx += 1
         self.fused_frames += 1
 
@@ -158,10 +168,26 @@ class MapEngine:
                       height: int | None = None,
                       reuse_cache: bool = False) -> tsdf.Raycast:
         if reuse_cache and self._frame_cache is not None:
-            origin, grid = self._frame_cache
+            origin, grid, slots, mask = self._frame_cache
         else:
             origin = tsdf.compute_origin(self.cfg, cam_to_world)
             grid = tsdf.build_local_grid(self.cfg, self.state, origin)
+            slots = mask = None
+        full_frame = (width is None or width == self.cfg.width) and (
+            height is None or height == self.cfg.height
+        )
+        if self.use_pallas_raycast and full_frame:
+            from dynslam_tpu.ops.pallas_raycast import raycast_tiled
+
+            if slots is None:
+                slots, mask = tsdf.visible_blocks(
+                    self.cfg, self.state, grid, origin,
+                    jnp.linalg.inv(cam_to_world),
+                )
+            return raycast_tiled(
+                self.cfg, self.state, slots, mask, origin, cam_to_world,
+                self.intrinsics_vec,
+            )
         return tsdf.raycast(
             self.cfg, self.state, grid, origin, cam_to_world,
             self.intrinsics_vec, width, height,

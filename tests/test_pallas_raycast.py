@@ -1,0 +1,110 @@
+"""Parity of the tile-based Pallas raycaster vs the XLA reference path
+(interpret mode, CPU backend)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynslam_tpu.ops import tsdf
+from dynslam_tpu.ops.pallas_raycast import raycast_tiled
+
+
+def _cfg(**kw):
+    base = dict(
+        pool_capacity=4096,
+        local_dims=(48, 24, 48),
+        max_new_blocks=2048,
+        max_visible_blocks=3072,
+        voxel_size=0.08,
+        mu=0.32,
+        raycast_coarse_steps=24,
+        raycast_fine_steps=20,
+        width=128,
+        height=64,
+        fx=100.0,
+        fy=100.0,
+        cx=64.0,
+        cy=32.0,
+        raycast_cand_k=128,
+    )
+    base.update(kw)
+    return tsdf.TsdfConfig(**base)
+
+
+def _fuse_frames(cfg, n_frames=2):
+    """Fuse a wavy synthetic depth surface; returns state + frame geometry."""
+    h, w = cfg.height, cfg.width
+    vv, uu = np.mgrid[0:h, 0:w].astype(np.float32)
+    state = tsdf.create_state(cfg)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    # smooth color field: hit-position jitter between the two raycasters
+    # then maps to near-identical colors
+    rgb = jnp.asarray(
+        np.stack([uu * (255.0 / w), vv * (255.0 / h),
+                  np.full((h, w), 128.0)], -1), jnp.uint8)
+    for t in range(n_frames):
+        depth = jnp.asarray(
+            np.clip(3.0 + 1.2 * np.sin(uu / 25.0) + vv / 40.0, 0.8, 15.0)
+        )
+        origin = tsdf.compute_origin(cfg, eye)
+        grid = tsdf.build_local_grid(cfg, state, origin)
+        state, grid, _ = tsdf.allocate(
+            cfg, state, grid, origin, depth, eye, jnp.int32(t)
+        )
+        slots, mask = tsdf.visible_blocks(cfg, state, grid, origin, eye)
+        state = tsdf.integrate(
+            cfg, state, slots, mask, rgb, depth, eye, jnp.int32(t)
+        )
+    return state, grid, origin, slots, mask, eye, depth
+
+
+def test_raycast_tiled_matches_xla():
+    cfg = _cfg()
+    state, grid, origin, slots, mask, eye, depth_in = _fuse_frames(cfg)
+    intr = jnp.asarray([cfg.fx, cfg.fy, cfg.cx, cfg.cy], jnp.float32)
+
+    ref = tsdf.raycast(cfg, state, grid, origin, eye, intr)
+    got = raycast_tiled(cfg, state, slots, mask, origin, eye, intr,
+                        interpret=True)
+
+    ref_hit = np.asarray(ref.hit)
+    got_hit = np.asarray(got.hit)
+    # coverage: at least as good as the XLA path on its hits
+    assert got_hit[ref_hit].mean() > 0.98, (
+        f"pallas missed {100 * (1 - got_hit[ref_hit].mean()):.1f}% of "
+        "XLA hits"
+    )
+    both = ref_hit & got_hit
+    d_ref = np.asarray(ref.depth)[both]
+    d_got = np.asarray(got.depth)[both]
+    # different step placement => small interpolation differences
+    med = np.median(np.abs(d_ref - d_got))
+    assert med < cfg.voxel_size, f"median depth diff {med:.4f} m"
+    assert np.percentile(np.abs(d_ref - d_got), 95) < 3 * cfg.voxel_size
+
+    # depth consistency with the fused input surface
+    din = np.asarray(depth_in)
+    err = np.abs(np.asarray(got.depth) - din)[got_hit & (din < 14.0)]
+    assert np.median(err) < cfg.voxel_size
+
+    # color & weight: sampled at the hit voxel
+    w_got = np.asarray(got.weight)[both]
+    assert (w_got > 0).mean() > 0.99
+    c_ref = np.asarray(ref.color)[both].astype(np.int32)
+    c_got = np.asarray(got.color)[both].astype(np.int32)
+    close = (np.abs(c_ref - c_got).max(axis=-1) <= 8)
+    assert close.mean() > 0.9
+
+
+def test_raycast_tiled_empty_map():
+    cfg = _cfg()
+    state = tsdf.create_state(cfg)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    origin = tsdf.compute_origin(cfg, eye)
+    grid = tsdf.build_local_grid(cfg, state, origin)
+    slots, mask = tsdf.visible_blocks(cfg, state, grid, origin, eye)
+    intr = jnp.asarray([cfg.fx, cfg.fy, cfg.cx, cfg.cy], jnp.float32)
+    rc = raycast_tiled(cfg, state, slots, mask, origin, eye, intr,
+                       interpret=True)
+    assert not np.asarray(rc.hit).any()
+    assert (np.asarray(rc.depth) == 0).all()
