@@ -305,6 +305,64 @@ def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+#: intensity quantization of the packed pair image (1/64 gray level)
+_PACK_SCALE = 64.0
+
+
+def pack_pairs(img: jnp.ndarray) -> jnp.ndarray:
+    """Pack horizontal pixel pairs into one int32 per pixel:
+    (img[y,x]*64) << 16 | (img[y,x+1]*64). Random-access gathers cost
+    ~20 ns/element on TPU regardless of width, so fetching both bilinear
+    x-neighbors per gather halves the LK sampling cost."""
+    q = jnp.clip(img * _PACK_SCALE, 0, 65535).astype(jnp.int32)
+    right = jnp.concatenate([q[:, 1:], q[:, -1:]], axis=1)
+    return (q << 16) | right
+
+
+_GRAD_OFFSET = 512.0
+
+
+def pack_grads(img: jnp.ndarray):
+    """Central-difference gradient maps, each pair-packed like the value
+    image (offset +512 to stay unsigned): bilinear gradient = 2 gathers
+    per component."""
+    gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
+    gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
+    return pack_pairs(gx + _GRAD_OFFSET), pack_pairs(gy + _GRAD_OFFSET)
+
+
+def _bilinear_pairs(imgp: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Bilinear sample of a pair-packed image — 2 gathers per sample
+    (both x-neighbors arrive in one int32)."""
+    h, w = imgp.shape
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    ax = x - x0
+    ay = y - y0
+    g0 = imgp[y0, x0]
+    g1 = imgp[jnp.minimum(y0 + 1, h - 1), x0]
+    inv = 1.0 / _PACK_SCALE
+    # mask after the shift: the u16 high half may occupy the sign bit
+    v00 = ((g0 >> 16) & 0xFFFF).astype(jnp.float32) * inv
+    v01 = (g0 & 0xFFFF).astype(jnp.float32) * inv
+    v10 = ((g1 >> 16) & 0xFFFF).astype(jnp.float32) * inv
+    v11 = (g1 & 0xFFFF).astype(jnp.float32) * inv
+    top = v00 + (v01 - v00) * ax
+    bot = v10 + (v11 - v10) * ax
+    return top + (bot - top) * ay
+
+
+def _bilinear_grad_packed(imgp, gradp, x, y):
+    """Bilinear value + bilinear central-difference gradients from
+    pair-packed maps — 6 gathers per sample vs 12 for separate maps."""
+    val = _bilinear_pairs(imgp, x, y)
+    gx = _bilinear_pairs(gradp[0], x, y) - _GRAD_OFFSET
+    gy = _bilinear_pairs(gradp[1], x, y) - _GRAD_OFFSET
+    return val, gx, gy
+
+
 @partial(jax.jit, static_argnames=("radius", "iters"))
 def refine_flow_quad(
     cur_l: jnp.ndarray,
@@ -319,57 +377,53 @@ def refine_flow_quad(
 
     The observation reference is the ROUNDED current-left pixel; its patch
     is aligned into the current-right, previous-left, and previous-right
-    images by iterative Lucas-Kanade (bilinear sampling + gradient normal
-    equations) — unbiased where 3-point SAD parabolas are not. All four
-    coordinates then describe the *same* physical patch, so detector-phase
-    errors cancel in both disparity and temporal flow (the role of viso2's
-    match.refinement). Stereo alignments are 1-dof (x only) on the
-    reference row — the pairs are rectified. Returns refined (K, 8) flow.
+    images by iterative Lucas-Kanade (pair-packed bilinear sampling with
+    analytic gradients — 2 gathers per sample, see
+    `_bilinear_grad_packed`) — unbiased where 3-point SAD parabolas are
+    not. All four coordinates then describe the *same* physical patch, so
+    detector-phase errors cancel in both disparity and temporal flow (the
+    role of viso2's match.refinement). Stereo alignments are 1-dof
+    (x only) on the reference row — the pairs are rectified. Returns
+    refined (K, 8) flow.
     """
     h, w = cur_l.shape
     ui = jnp.round(flow[:, 0]).astype(jnp.int32)
     vi = jnp.round(flow[:, 1]).astype(jnp.int32)
+
+    cur_l_p = (pack_pairs(cur_l), pack_grads(cur_l))
+    cur_r_p = (pack_pairs(cur_r), pack_grads(cur_r))
+    prev_l_p = (pack_pairs(prev_l), pack_grads(prev_l))
+    prev_r_p = (pack_pairs(prev_r), pack_grads(prev_r))
 
     offs = [
         (float(dy), float(dx))
         for dy in range(-radius, radius + 1)
         for dx in range(-radius, radius + 1)
     ]
-
-    def sample_patch(img, x, y):
-        return jnp.stack(
-            [_bilinear(img, x + dx, y + dy) for dy, dx in offs], axis=-1
-        )  # (K, P)
-
-    ref = sample_patch(
-        cur_l, ui.astype(jnp.float32), vi.astype(jnp.float32)
-    )
-
     # patch sampling offsets as arrays, for the scale dof
     off_dy = jnp.asarray([dy for dy, dx in offs], jnp.float32)
     off_dx = jnp.asarray([dx for dy, dx in offs], jnp.float32)
 
-    def sample_patch_scaled(img, x, y, s):
-        """Sample a patch whose offsets are scaled by (1+s) — absorbs the
-        radial-expansion field of forward motion, which otherwise biases
-        the translational estimate of large flows toward zero."""
+    def sample_patch_scaled(imgp, x, y, s):
+        """Patch (values + analytic gradients) whose offsets are scaled by
+        (1+s) — absorbs the radial-expansion field of forward motion,
+        which otherwise biases the translational estimate of large flows
+        toward zero. Returns (t, gx, gy), each (K, P)."""
         xs = x[:, None] + off_dx[None, :] * (1.0 + s)[:, None]
         ys = y[:, None] + off_dy[None, :] * (1.0 + s)[:, None]
-        return _bilinear(img, xs, ys)
+        return _bilinear_grad_packed(imgp[0], imgp[1], xs, ys)
 
-    def lk(img, x0, y0, solve_y: bool):
-        """Align ref into img starting at (x0, y0); returns (x, y).
-        Solves for (dx[, dy, dscale]) per match. Gradients come from
-        precomputed central-difference maps sampled at the same positions
-        (12 gathers/point/iter instead of 20 for resampled differences)."""
-        gx_map = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
-        gy_map = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
+    ui_f = ui.astype(jnp.float32)
+    vi_f = vi.astype(jnp.float32)
+    ref, _, _ = sample_patch_scaled(cur_l_p, ui_f, vi_f, jnp.zeros_like(ui_f))
+
+    def lk(imgp, x0, y0, solve_y: bool):
+        """Align ref into imgp starting at (x0, y0); returns (x, y).
+        Solves for (dx[, dy, dscale]) per match."""
 
         def step(carry, _):
             x, y, s = carry
-            t = sample_patch_scaled(img, x, y, s)
-            gx = sample_patch_scaled(gx_map, x, y, s)
-            gy = sample_patch_scaled(gy_map, x, y, s)
+            t, gx, gy = sample_patch_scaled(imgp, x, y, s)
             # d(patch)/d(scale) = offsets . gradient
             gs = gx * off_dx[None, :] + gy * off_dy[None, :]
             r = t - ref
@@ -395,21 +449,19 @@ def refine_flow_quad(
         y = jnp.clip(y, y0 - 1.5, y0 + 1.5)
         return x, y
 
-    vi_f = vi.astype(jnp.float32)
     vp0 = jnp.round(flow[:, 5]).astype(jnp.float32)
 
-    u2c, _ = lk(cur_r, jnp.round(flow[:, 2]).astype(jnp.float32), vi_f, False)
-    u1p, v1p = lk(prev_l, jnp.round(flow[:, 4]).astype(jnp.float32), vp0, True)
+    u2c, _ = lk(cur_r_p, jnp.round(flow[:, 2]).astype(jnp.float32), vi_f, False)
+    u1p, v1p = lk(prev_l_p, jnp.round(flow[:, 4]).astype(jnp.float32), vp0, True)
     # prev-right: x free, row fixed to the prev-left refined row (rectified)
     u2p0 = jnp.round(flow[:, 6]).astype(jnp.float32)
 
-    def lk_x_at_row(img, x0, row):
-        gx_map = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
-
+    def lk_x_at_row(imgp, x0, row):
         def step(carry, _):
             x = carry
-            t = sample_patch(img, x, row)
-            gx = sample_patch(gx_map, x, row)
+            t, gx, _ = sample_patch_scaled(
+                imgp, x, row, jnp.zeros_like(x)
+            )
             r = t - ref
             dx = -jnp.sum(gx * r, -1) / (jnp.sum(gx * gx, -1) + 1e-6)
             return x + jnp.clip(dx, -1.0, 1.0), None
@@ -417,7 +469,7 @@ def refine_flow_quad(
         x, _ = jax.lax.scan(step, x0, None, length=iters)
         return jnp.clip(x, x0 - 1.5, x0 + 1.5)
 
-    u2p = lk_x_at_row(prev_r, u2p0, v1p)
+    u2p = lk_x_at_row(prev_r_p, u2p0, v1p)
 
     return jnp.stack(
         [

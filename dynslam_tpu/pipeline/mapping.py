@@ -55,21 +55,24 @@ class MapEngine:
         cfg: tsdf.TsdfConfig,
         decay_params: VoxelDecayParams,
         intrinsics: Optional[Intrinsics] = None,
-        use_pallas_fusion: bool = False,
+        use_pallas_fusion: Optional[bool] = None,
         use_pallas_raycast: Optional[bool] = None,
     ):
         self.cfg = cfg
-        #: opt-in hand-written fusion kernel (ops/pallas_integrate.py);
-        #: ~5% faster than the XLA path on v5e and skips blocks closer
-        #: than ~2.2 m (fixed sampling window) — see PERFORMANCE.md
+        import jax
+
+        on_tpu = jax.default_backend() not in ("cpu",)
+        #: fusion kernel (ops/pallas_integrate.py, ~1.8x the XLA path,
+        #: near blocks fused exactly by a fixed-size XLA pass); None =
+        #: auto (on for TPU backends)
+        if use_pallas_fusion is None:
+            use_pallas_fusion = on_tpu
         self.use_pallas_fusion = use_pallas_fusion
         #: tile-based Pallas raycaster (ops/pallas_raycast.py, ~9x the XLA
         #: path); None = auto (on for TPU backends). Full-frame raycasts
         #: only — free-camera/rescaled renders keep the XLA path.
         if use_pallas_raycast is None:
-            import jax
-
-            use_pallas_raycast = jax.default_backend() not in ("cpu",)
+            use_pallas_raycast = on_tpu
         self.use_pallas_raycast = use_pallas_raycast
         self.decay_params = decay_params
         self.state = tsdf.create_state(cfg)
