@@ -104,24 +104,32 @@ def estimate_motion(
     # more weight (their disparity is more reliable for translation)
     col_w = 1.0 / (jnp.abs(flow[:, 4] - cu) / jnp.abs(cu) + 0.05)
 
-    # --- hypothesis sampling: 3 distinct valid matches per iteration -----
-    # sample with probability proportional to validity
+    # --- hypothesis sampling: 3 DISTINCT valid matches per iteration -----
+    # Gumbel top-3 = sampling without replacement (viso2 draws distinct
+    # matches; duplicates make degenerate hypotheses and waste iterations)
     logits = jnp.where(valid, 0.0, -jnp.inf)
     keys = jax.random.split(key, params.ransac_iters)
 
     def sample_idx(k):
-        return jax.random.categorical(k, logits, shape=(3,))
+        g = jax.random.gumbel(k, (N,)) + logits
+        _, ids = jax.lax.top_k(g, 3)
+        return ids
 
     sample_ids = jax.vmap(sample_idx)(keys)  # (iters, 3)
 
-    def solve_hypothesis(ids):
-        w = jnp.zeros(N).at[ids].set(1.0) * vweights
-        tr = _gn_solve(
-            initial_tr, pts_prev, flow, w, fx, cu, cv, baseline, iters=6
-        )
-        return tr
+    # gather just the 3 sampled rows per hypothesis and run GN on them —
+    # masking the FULL (N, 8) flow per hypothesis paid N/3 ~ 700x the
+    # needed residual/jacobian work
+    flow3 = flow[sample_ids]  # (iters, 3, 8)
+    pts3 = pts_prev[sample_ids]  # (iters, 3, 3)
+    w3 = valid[sample_ids].astype(jnp.float32)  # (iters, 3)
 
-    trs = jax.vmap(solve_hypothesis)(sample_ids)  # (iters, 6)
+    def solve_hypothesis(pts3_i, flow3_i, w3_i):
+        return _gn_solve(
+            initial_tr, pts3_i, flow3_i, w3_i, fx, cu, cv, baseline, iters=6
+        )
+
+    trs = jax.vmap(solve_hypothesis)(pts3, flow3, w3)  # (iters, 6)
 
     # --- score all hypotheses ------------------------------------------
     def count_inliers(tr):

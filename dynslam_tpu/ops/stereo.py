@@ -59,12 +59,12 @@ def census_transform(gray: jnp.ndarray, radius: int) -> jnp.ndarray:
     return jnp.stack(lanes)
 
 
-def _box_sum(x: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Sum over a (2r+1)^2 window, SAME padding."""
+def _box_sum_i32(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Integer sum over a (2r+1)^2 window, SAME padding — separable (two
+    1-D passes, 2k adds/px instead of k^2)."""
     k = 2 * radius + 1
-    return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (k, k), (1, 1), "SAME"
-    )
+    x = jax.lax.reduce_window(x, 0, jax.lax.add, (k, 1), (1, 1), "SAME")
+    return jax.lax.reduce_window(x, 0, jax.lax.add, (1, k), (1, 1), "SAME")
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -85,10 +85,13 @@ def compute_disparity_jit(
         shifted = jnp.roll(cr, d, axis=2)
         ham = jax.lax.population_count(
             (cl ^ shifted).astype(jnp.uint32)
-        ).astype(jnp.float32).sum(axis=0)
+        ).astype(jnp.int32).sum(axis=0)
         # columns x < d have no right-image counterpart
-        ham = jnp.where(col < d, 96.0, ham)
-        return _box_sum(ham, params.aggregation_radius)
+        ham = jnp.where(col < d, 96, ham)
+        # aggregated cost <= 96 * (2r+1)^2 < 32767: store the volume as
+        # int16 — the (D, H, W) volume is read several times downstream
+        # and the sweep is HBM-bound, so halving its bytes matters
+        return _box_sum_i32(ham, params.aggregation_radius).astype(jnp.int16)
 
     # chunked disparity sweep: vmap vectorizes CH disparities per map step
     # (128 tiny sequential kernels would leave the VPU idle)
@@ -108,9 +111,9 @@ def compute_disparity_jit(
         d_idx = jnp.clip(d_idx, 0, D - 1)
         return jnp.take_along_axis(costs, d_idx[None], axis=0)[0]
 
-    c0 = take(best_d)
-    cm = take(best_d - 1)
-    cp = take(best_d + 1)
+    c0 = take(best_d).astype(jnp.float32)
+    cm = take(best_d - 1).astype(jnp.float32)
+    cp = take(best_d + 1).astype(jnp.float32)
 
     # parabolic subpixel: offset in [-0.5, 0.5]
     denom = cm - 2.0 * c0 + cp
@@ -122,14 +125,16 @@ def compute_disparity_jit(
 
     # uniqueness: best must beat runner-up (excluding +-1 neighbors)
     exclude = jnp.abs(dgrid - best_d[None]) <= 1
-    second = jnp.min(jnp.where(exclude, jnp.inf, costs), axis=0)
+    second = jnp.min(
+        jnp.where(exclude, jnp.int16(32767), costs), axis=0
+    ).astype(jnp.float32)
     unique_ok = c0 <= params.uniqueness * second
 
     # left-right consistency: cost_R(x, d) = cost_L(x + d, d)
     def right_cost_at(args):
         cost_plane, d = args
         rolled = jnp.roll(cost_plane, -d, axis=1)
-        return jnp.where(col >= w - d, jnp.inf, rolled)
+        return jnp.where(col >= w - d, jnp.int16(32767), rolled)
 
     if CH > 1:
         costs_r = jax.lax.map(

@@ -248,12 +248,17 @@ def allocate(
 ):
     """Allocate blocks touched by the depth map's truncation band.
     Returns (state, grid, stats) with stats = (n_new, n_dropped)."""
-    h, w = depth_m.shape
     dx, dy, dz = cfg.local_dims
     n_cells = dx * dy * dz
 
-    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # stride-2 ray sampling: the truncation band is scattered from every
+    # 2nd pixel — a block's footprint is >= ~14 px even at max_depth
+    # (8 * voxel * fx / z), so no block only touched by skipped rays can
+    # exist; this quarters the scatter volume (~20 ns/element on TPU)
+    depth_m = depth_m[::2, ::2]
+    h, w = depth_m.shape
+    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * 2.0
+    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * 2.0
     valid_px = (depth_m >= cfg.min_depth) & (depth_m <= cfg.max_depth)
 
     # sample the band [d - mu, d + mu] along each pixel ray
