@@ -27,6 +27,7 @@ import numpy as np
 from dynslam_tpu.config import DynSlamConfig
 from dynslam_tpu.instances.track import Track, TrackFrame, TrackState
 from dynslam_tpu.instances.tracker import InstanceTracker
+from dynslam_tpu.instances.volume_pool import InstanceVolumePool
 from dynslam_tpu.io.segmentation import InstanceSegmentationResult
 from dynslam_tpu.ops import masks as mask_ops
 from dynslam_tpu.ops import tsdf
@@ -72,6 +73,11 @@ class InstanceReconstructor:
             fy=config.intrinsics.fy,
             cx=config.intrinsics.cx,
             cy=config.intrinsics.cy,
+        )
+        #: batched per-object volumes (SURVEY §7.1): all tracks' fusions
+        #: per frame run as ONE vmapped call — flat cost vs track count
+        self.volume_pool = InstanceVolumePool(
+            self._instance_cfg, config.decay, capacity=imp.max_objects
         )
 
     # ------------------------------------------------------------------
@@ -190,11 +196,14 @@ class InstanceReconstructor:
                     self._initialize_reconstruction(track)
             else:
                 self._fuse_frame(track, len(track.frames) - 1)
+        # all tracks' staged fusions -> one vmapped batch
+        self.volume_pool.flush()
 
     def _initialize_reconstruction(self, track: Track) -> None:
-        """New small volume + catch-up fusion of all fusable frames
-        (InstanceReconstructor.cpp:363-401)."""
-        track.reconstruction = MapEngine(
+        """New pooled volume + catch-up fusion of all fusable frames
+        (InstanceReconstructor.cpp:363-401). Falls back to a standalone
+        engine when the pool is exhausted (> max_objects concurrent)."""
+        track.reconstruction = self.volume_pool.acquire_volume() or MapEngine(
             self._instance_cfg, self.config.decay
         )
         first = track.get_first_fusable_frame_index()

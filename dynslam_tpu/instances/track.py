@@ -243,6 +243,10 @@ class Track:
             self.reconstruction.reap(float(reap_weight))
 
     def release_reconstruction(self) -> None:
+        if self.reconstruction is not None and hasattr(
+            self.reconstruction, "release"
+        ):
+            self.reconstruction.release()  # return the pool slot
         self.reconstruction = None
 
     def __repr__(self):

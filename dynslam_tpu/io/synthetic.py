@@ -104,6 +104,30 @@ class SyntheticScene:
                         is_dynamic=True,
                     )
                 )
+            if n_dynamic >= 3:
+                # slower lead car in the outer right lane
+                pose3 = np.eye(4)
+                pose3[:3, 3] = [3.3, 1.65 - 0.75, 12.0]
+                boxes.append(
+                    Box(
+                        np.array([0.9, 0.75, 2.1]),
+                        pose3,
+                        velocity=np.array([0.0, 0.0, 0.7]),
+                        is_dynamic=True,
+                    )
+                )
+            if n_dynamic >= 4:
+                # second oncoming car in the outer left lane
+                pose4 = np.eye(4)
+                pose4[:3, 3] = [-3.4, 1.65 - 0.75, 14.0]
+                boxes.append(
+                    Box(
+                        np.array([0.9, 0.75, 2.1]),
+                        pose4,
+                        velocity=np.array([0.0, 0.0, -0.75]),
+                        is_dynamic=True,
+                    )
+                )
         return SyntheticScene(boxes=boxes)
 
 

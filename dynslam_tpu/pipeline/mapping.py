@@ -165,6 +165,7 @@ class MapEngine:
         (trackingController->Prepare, InfiniTamDriver.h:148-158)."""
         self._last_raycast = self._raycast_from(self.cam_to_world,
                                                 reuse_cache=True)
+        self._last_raycast_pose = np.asarray(self.cam_to_world)
 
     def _raycast_from(self, cam_to_world: jnp.ndarray,
                       width: int | None = None,
@@ -244,6 +245,16 @@ class MapEngine:
         if cam_to_world is None:
             if self._last_raycast is None:
                 self.prepare_next_step()
+            return self._last_raycast
+        # evaluation passes the current pose explicitly — serve the
+        # prepare_next_step render instead of re-raycasting the frame
+        if (
+            self._last_raycast is not None
+            and width is None and height is None
+            and getattr(self, "_last_raycast_pose", None) is not None
+            and np.allclose(np.asarray(cam_to_world),
+                            self._last_raycast_pose, atol=1e-6)
+        ):
             return self._last_raycast
         return self._raycast_from(jnp.asarray(cam_to_world, jnp.float32),
                                   width, height)

@@ -52,3 +52,53 @@ def test_ground_truth_pose_mode(tmp_path):
         est_c2w = np.linalg.inv(dyn.pose_history[k + 1])
         np.testing.assert_allclose(est_c2w[:3, 3], gt[k][:3, 3], atol=1e-4)
     assert dyn.static_scene.get_used_block_count() > 100
+
+
+def test_four_cars_batched_pool(tmp_path, monkeypatch):
+    """VERDICT round-1 item 5: >=4 simultaneous vehicles, instance fusion
+    flat vs track count — all same-frame fusions run as ONE vmapped pool
+    batch, never one dispatch per track."""
+    import dynslam_tpu.instances.volume_pool as vp
+
+    batch_sizes = []
+    orig = vp._fuse_batch
+
+    def spy(c, states, rgbs, *a, **k):
+        batch_sizes.append(int(rgbs.shape[0]))
+        return orig(c, states, rgbs, *a, **k)
+
+    monkeypatch.setattr(vp, "_fuse_batch", spy)
+
+    root = str(tmp_path / "seq4")
+    write_kitti_sequence(root, num_frames=7, width=W, height=H,
+                         with_dynamic=True, n_dynamic=4)
+    # 4 mid-size cars at 160x120 need a fuller feature budget than the
+    # tiny preset (see .claude/skills/verify: 1024 candidates starve
+    # mid-size cars) and a lower flow-vector floor
+    import dataclasses
+
+    from dynslam_tpu.config import TrackerParams, VisualOdometryParams
+
+    cfg4 = dataclasses.replace(
+        dynamic_config(),
+        vo=VisualOdometryParams(max_candidates=4096, max_matches=1024,
+                                ransac_iters=60, max_disparity=64),
+        tracker=TrackerParams(min_flow_vectors=6),
+    )
+    dyn, inp = build_dynslam(root, cfg4, with_instances=True,
+                             min_detection_size_px=8)
+    while dyn.process_frame(inp):
+        pass
+
+    tracks = list(dyn.instance_reconstructor.tracker.active_tracks.values())
+    assert len(tracks) >= 4
+    recon = [t for t in tracks if t.has_reconstruction()]
+    assert len(recon) >= 3
+    # every reconstruction went through the shared pool
+    for t in recon:
+        assert isinstance(t.reconstruction, vp.PooledVolume)
+        assert t.reconstruction.get_used_block_count() > 20
+    # fusion was batched: at least one multi-track vmapped call, and no
+    # frame degenerated into per-track dispatches beyond the catch-up
+    # chains (which are sequential by definition)
+    assert max(batch_sizes) >= 2
