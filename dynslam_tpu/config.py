@@ -246,6 +246,9 @@ class DynSlamConfig:
     fusion_every: int = 1
     #: use external (scene-flow) odometry instead of ICP (DynSlam.cpp:89-100)
     external_odometry: bool = True
+    #: 5-pass bilateral depth filter before fusion (the reference's
+    #: settings->useBilateralFilter, InfiniTamDriver.cpp:222)
+    use_bilateral_filter: bool = False
     #: depth provider clamps: 0 = invalid (DepthProvider.h:94-137)
     min_depth_m: float = 0.5
     max_depth_m: float = 20.0

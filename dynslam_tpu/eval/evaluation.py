@@ -91,6 +91,18 @@ def evaluate_depth_jit(
     lidar_disp = ul - ur
     ok = in_range & in_img & (lidar_disp >= 0.0)
 
+    # GT-quality accounting (Evaluation.cpp:262-275): row disagreements
+    # beyond 1.2 px between the two projections are epipolar violations
+    # (imperfectly aligned LIDAR, e.g. passing large trucks); negative GT
+    # disparities make the reference throw — we count and drop instead
+    row_r = jnp.round(pr[:, 1] / pr[:, 2]).astype(jnp.int32)
+    epi_errors = jnp.sum(
+        in_range & in_img & (row != row_r)
+        & (jnp.abs(vl - pr[:, 1] / pr[:, 2]) > 1.2)
+    )
+    neg_disp = jnp.sum(in_range & in_img & (lidar_disp < 0.0))
+    n_valid_pts = jnp.sum(ok)
+
     colc = jnp.clip(col, 0, width - 1)
     rowc = jnp.clip(row, 0, height - 1)
     rend_d = rendered_depth_m[rowc, colc]
@@ -140,7 +152,8 @@ def evaluate_depth_jit(
                 jnp.stack([err_i, mis_i, cor_i, ms[1]]),
             ]))
         rows.append(jnp.stack(per_bucket))
-    return jnp.stack(rows)  # (n_delta, 3, 2, 4)
+    # (n_delta, 3, 2, 4) counts + GT-quality stats
+    return jnp.stack(rows), jnp.stack([epi_errors, neg_disp, n_valid_pts])
 
 
 def build_association_map(
@@ -254,12 +267,15 @@ class Evaluation:
         else:
             _, input_depth_mm = input_.get_frame_images(input_frame_idx)
 
+        # delayed frames are routed with the LATEST segmentation +
+        # reconstructor, exactly like the reference (GetLatestSeg,
+        # Evaluation.cpp:111-127) — so the decay-gate recipe
+        # (evaluation_delay 80-120) still populates the dynamic CSV
         assoc = build_association_map(
             self.config.frame_height, self.config.frame_width,
-            dyn_slam.get_latest_seg_result() if delay == 0 else None,
+            dyn_slam.get_latest_seg_result(),
             dyn_slam.instance_reconstructor.tracker
-            if dyn_slam.instance_reconstructor is not None and delay == 0
-            else None,
+            if dyn_slam.instance_reconstructor is not None else None,
         )
 
         counts = self.evaluate_depth(
@@ -305,7 +321,7 @@ class Evaluation:
         valid = np.zeros(MAX_LIDAR_POINTS, bool)
         valid[:n] = True
 
-        counts = evaluate_depth_jit(
+        counts, gt_stats = evaluate_depth_jit(
             jnp.asarray(pts), jnp.asarray(valid),
             jnp.asarray(self.calib.velo_to_left_cam, jnp.float32),
             jnp.asarray(self.calib.proj_left_color, jnp.float32),
@@ -321,6 +337,24 @@ class Evaluation:
             delta_maxes=self._all_deltas,
             kitti_style=self._kitti_flags,
         )
+        epi, neg, n_ok = (int(x) for x in np.asarray(gt_stats))
+        self.last_epi_errors = epi
+        self.last_negative_disp = neg
+        if epi > 5:  # the reference's warning threshold (:300-303)
+            import sys
+
+            print(
+                f"WARNING: Found {epi} possible epipolar violations in the "
+                f"ground truth, out of {n_ok} valid LIDAR points.",
+                file=sys.stderr,
+            )
+        if neg > 0:
+            import sys
+
+            print(
+                f"WARNING: {neg} negative-disparity ground-truth points "
+                "dropped (the reference aborts here).", file=sys.stderr,
+            )
         return np.asarray(counts)
 
     # ------------------------------------------------------------------

@@ -32,6 +32,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-dynamic_mode", dest="dynamic_mode",
                    action="store_false")
     p.add_argument("--direct_refinement", action="store_true", default=False)
+    p.add_argument("--use_bilateral_filter", action="store_true",
+                   default=False,
+                   help="bilateral-filter the input depth before fusion "
+                        "(InfiniTAM's useBilateralFilter)")
     p.add_argument("--use_dispnet", action="store_true", default=False)
     p.add_argument("--use_live_stereo", action="store_true", default=False,
                    help="census matcher depth instead of precomputed dumps")
@@ -117,6 +121,7 @@ def main(argv=None) -> int:
         dynamic_mode=args.dynamic_mode,
         use_dispnet=args.use_dispnet,
         fusion_every=args.fusion_every,
+        use_bilateral_filter=args.use_bilateral_filter,
         scale=args.scale,
         scene=SceneParams(voxel_size_m=args.voxel_size),
         decay=VoxelDecayParams(args.voxel_decay, args.min_decay_age,

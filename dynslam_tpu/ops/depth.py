@@ -83,8 +83,11 @@ def bilateral_filter_depth(
         for dy in range(-radius, radius + 1)
         for dx in range(-radius, radius + 1)
     ]
+    import math
+
+    # host math, not jnp: under jit even constant jnp ops become tracers
     spatial_w = [
-        float(jnp.exp(-(dy * dy + dx * dx) / (2.0 * sigma_space**2)))
+        math.exp(-(dy * dy + dx * dx) / (2.0 * sigma_space**2))
         for dy, dx in offsets
     ]
 

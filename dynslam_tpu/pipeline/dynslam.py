@@ -115,7 +115,9 @@ class DynSlam:
 
         # -- map view update ---------------------------------------------
         t.tic("4-update-view")
-        self.static_scene.update_view(rgb, depth_mm)
+        self.static_scene.update_view(
+            rgb, depth_mm, bilateral=self.config.use_bilateral_filter
+        )
         t.toc("4-update-view")
 
         # -- dynamic-object pipeline -------------------------------------

@@ -34,7 +34,9 @@ def run_eval_core(rendered, input_d, lidar_pts, assoc=None,
         jnp.float32(0.5), jnp.float32(20.0),
         width=W, height=H, delta_maxes=deltas, kitti_style=kitti,
     )
-    return np.asarray(out)
+    counts, gt_stats = out
+    run_eval_core.last_gt_stats = np.asarray(gt_stats)
+    return np.asarray(counts)
 
 
 class TestEvalCore:
@@ -148,3 +150,89 @@ class TestEvaluationEndToEnd:
         mlines = open(os.path.join(csv_dir, mem)).read().strip().split("\n")
         assert mlines[0].startswith("frame_id,memory_usage_bytes")
         assert int(mlines[-1].split(",")[1]) > 0
+
+
+class TestGtAccounting:
+    def test_epipolar_violation_and_negative_disparity_counts(self):
+        """Evaluation.cpp:262-275 accounting: row-mismatched projections
+        count as epipolar violations; negative GT disparity is counted
+        (the reference aborts; we drop + warn)."""
+        W, H, fx, baseline = 64, 48, 50.0, 0.5
+        rendered = np.full((H, W), 5.0, np.float32)
+        input_d = np.full((H, W), 5.0, np.float32)
+        # clean point at 5 m on the axis
+        pts = [(0.0, 0.0, 5.0)]
+        run_eval_core(rendered, input_d, np.asarray(pts, np.float32))
+        epi, neg, ok = run_eval_core.last_gt_stats
+        assert (epi, neg, ok) == (0, 0, 1)
+
+        # negative disparity: fake it with a right projection left of the
+        # left one — flip the baseline sign via a point behind... instead
+        # craft via the projection matrices by reusing the helper with a
+        # negative baseline
+        run_eval_core(rendered, input_d, np.asarray(pts, np.float32),
+                      baseline=-0.5)
+        epi, neg, ok = run_eval_core.last_gt_stats
+        assert neg == 1 and ok == 0
+
+
+def test_delayed_eval_routes_with_latest_seg(tmp_path):
+    """Evaluation.cpp:111-127: delayed frames are routed with the LATEST
+    segmentation/reconstructor, so the dynamic CSV stays populated under
+    evaluation_delay > 0 (the decay-gate recipe)."""
+    import dataclasses
+
+    from dynslam_tpu.config import EvaluationParams
+    from dynslam_tpu.io.synthetic import write_kitti_sequence
+    from dynslam_tpu.pipeline.builder import build_dynslam
+    from tests.test_dynamic_pipeline import dynamic_config
+
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=7, width=160, height=120,
+                         with_dynamic=True)
+    cfg = dataclasses.replace(
+        dynamic_config(),
+        evaluation=EvaluationParams(enabled=True, evaluation_delay=3,
+                                    semantic_evaluation=True),
+    )
+    out = str(tmp_path / "out" / "csv")
+    dyn, inp = build_dynslam(root, cfg, with_instances=True,
+                             min_detection_size_px=8, with_evaluation=True,
+                             csv_out_dir=out)
+    while dyn.process_frame(inp):
+        pass
+    dyn.evaluation.close()
+    import csv, glob
+
+    dyn_csv = glob.glob(os.path.join(out, "*dynamic-depth*"))[0]
+    rows = list(csv.DictReader(open(dyn_csv)))
+    assert len(rows) > 0
+    total_dyn = sum(int(r["fusion-total-0.50"]) for r in rows)
+    assert total_dyn > 0, "dynamic bucket empty under evaluation_delay"
+
+
+def test_bilateral_filter_flag_reaches_update_view(monkeypatch, tmp_path):
+    """--use_bilateral_filter wires through to MapEngine.update_view
+    (InfiniTamDriver.cpp:222 useBilateralFilter)."""
+    import dataclasses
+
+    from dynslam_tpu.io.synthetic import write_kitti_sequence
+    from dynslam_tpu.pipeline.builder import build_dynslam
+    from dynslam_tpu.pipeline.mapping import MapEngine
+    from tests.test_pipeline import small_config
+
+    seen = []
+    orig = MapEngine.update_view
+
+    def spy(self, rgb, depth_mm, bilateral=False):
+        seen.append(bilateral)
+        return orig(self, rgb, depth_mm, bilateral=bilateral)
+
+    monkeypatch.setattr(MapEngine, "update_view", spy)
+
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=2, width=96, height=64)
+    cfg = dataclasses.replace(small_config(), use_bilateral_filter=True)
+    dyn, inp = build_dynslam(root, cfg, with_instances=False)
+    dyn.process_frame(inp)
+    assert seen and all(seen)
