@@ -21,6 +21,7 @@ from dynslam_tpu.io.input import (
     InputConfig,
     kitti_odometry_config,
     kitti_odometry_dispnet_config,
+    kitti_odometry_lowres_config,
     kitti_tracking_config,
     kitti_tracking_dispnet_config,
 )
@@ -82,10 +83,26 @@ def build_dynslam(
             else kitti_odometry_config()
         )
 
+    # prefer pre-scaled folders produced by scripts/scale_sequence.py
+    # (the reference recipe: depth/seg recomputed at the low resolution,
+    # Input.h:128-139) over live nearest-resize of the full-res inputs
+    live_scale = config.scale
+    if (
+        kitti_tracking_sequence is None
+        and config.scale != 1.0
+        and not config.use_dispnet
+    ):
+        lowres = kitti_odometry_lowres_config(1.0 / config.scale)
+        if os.path.isdir(
+            os.path.join(dataset_root, lowres.left_color_folder)
+        ):
+            icfg = lowres
+            live_scale = 1.0  # folders are already downscaled
+
     calib = read_kitti_calibration(
         os.path.join(dataset_root, icfg.calibration_fname)
     )
-    width, height = probe_frame_size(dataset_root, icfg, config.scale)
+    width, height = probe_frame_size(dataset_root, icfg, live_scale)
     intr = calib.left_color_intrinsics
     if config.scale != 1.0:
         intr = intr.scaled(1.0 / config.scale)
@@ -116,7 +133,7 @@ def build_dynslam(
 
     input_ = Input(
         dataset_root, icfg, depth_provider, (width, height), stereo_calib,
-        frame_offset, config.scale,
+        frame_offset, live_scale,
     )
     if use_prefetch:
         from dynslam_tpu.io.prefetch import PrefetchingInput
@@ -143,7 +160,7 @@ def build_dynslam(
     if config.dynamic_mode:
         seg_provider = PrecomputedSegmentationProvider(
             os.path.join(dataset_root, icfg.segmentation_folder),
-            frame_offset, config.scale,
+            frame_offset, live_scale,
             min_detection_size_px=(
                 min_detection_size_px
                 if min_detection_size_px is not None

@@ -134,9 +134,14 @@ class MapEngine:
         c2w = self.cam_to_world
         origin = tsdf.compute_origin(self.cfg, c2w)
         grid = tsdf.build_local_grid(self.cfg, self.state, origin)
-        self.state, grid, _ = tsdf.allocate(
+        self.state, grid, alloc_stats = tsdf.allocate(
             self.cfg, self.state, grid, origin, self._view_depth_m, c2w,
             jnp.int32(self.frame_idx),
+        )
+        # device-resident running total of pool-full allocation drops
+        # (n_dropped of tsdf.allocate); fetched lazily by the accessor
+        self._dropped_total = alloc_stats[1] + getattr(
+            self, "_dropped_total", jnp.int32(0)
         )
         slots, mask = tsdf.visible_blocks(
             self.cfg, self.state, grid, origin, self.pose_w2c
@@ -301,6 +306,11 @@ class MapEngine:
 
     def get_used_memory_bytes(self) -> int:
         return int(tsdf.memory_stats(self.cfg, self.state)[1])
+
+    def get_dropped_allocation_count(self) -> int:
+        """Cumulative blocks NOT allocated because the pool was full
+        (soak/telemetry; the reference logs hash-collision drops)."""
+        return int(getattr(self, "_dropped_total", 0))
 
     def get_saved_decay_memory_bytes(self) -> int:
         return int(tsdf.memory_stats(self.cfg, self.state)[3])
