@@ -103,6 +103,36 @@ class DynSlam:
             k = min(self.current_frame_no, len(self.ground_truth_poses) - 1)
             gt_w2c = np.linalg.inv(self.ground_truth_poses[k])
             delta = gt_w2c @ np.linalg.inv(self.pose_history[-1])
+        # ICP depth tracking against the map render (the engine's
+        # trackingController->Track capability, InfiniTamDriver.h:120-124):
+        # primary odometry when external_odometry=False (constant-velocity
+        # seed, sparse VO as fallback); fallback refinement when the
+        # sparse VO fails mid-sequence in the default mode
+        vo_failed = (
+            self.sparse_sf_provider is not None
+            and not first_frame
+            and not self.sparse_sf_provider.motion_available()
+        )
+        want_icp = (not self.config.external_odometry) or vo_failed
+        if (
+            want_icp
+            and self.current_frame_no >= 2
+            and self.static_scene._last_raycast is not None
+            and self.ground_truth_poses is None
+        ):
+            seed = (
+                getattr(self, "_last_delta", np.eye(4, dtype=np.float32))
+                if not self.config.external_odometry else delta
+            )
+            res = self.static_scene.track_icp(
+                depth_mm.astype(np.float32) / 1000.0,
+                init_world_to_cam=seed @ self.pose_history[-1],
+            )
+            if bool(res.success):
+                delta = np.asarray(res.world_to_cam) @ np.linalg.inv(
+                    self.pose_history[-1]
+                )
+        self._last_delta = np.asarray(delta, np.float32)
         # the reference's GetLastEgomotion is old_c2w^-1 @ new_c2w = the
         # INVERSE of the VO delta (InfiniTamDriver.h:126,133); with it the
         # track state machine's error term ego @ rel is the object's

@@ -202,6 +202,28 @@ class MapEngine:
             self.intrinsics_vec, width, height,
         )
 
+    # -- depth tracking -----------------------------------------------------
+    def track_icp(self, depth_m, init_world_to_cam=None, stride: int = 4):
+        """Point-to-plane ICP of a depth map against the latest raycast
+        (trackingController->Track, InfiniTamDriver.h:120-124). Returns an
+        ops.icp.IcpResult; on failure the result carries the initial pose
+        with success=False."""
+        from dynslam_tpu.ops import icp as icp_ops
+
+        assert self._last_raycast is not None, "prepare_next_step first"
+        init = (
+            jnp.asarray(init_world_to_cam, jnp.float32)
+            if init_world_to_cam is not None else self.pose_w2c
+        )
+        ref_pose = jnp.asarray(
+            np.linalg.inv(self._last_raycast_pose), jnp.float32
+        )
+        return icp_ops.icp_track(
+            jnp.asarray(depth_m, jnp.float32),
+            self._last_raycast.points, self._last_raycast.hit,
+            ref_pose, init, self.intrinsics_vec, stride=stride,
+        )
+
     # -- decay / GC -------------------------------------------------------
     def decay(self, blocking: bool = False):
         """Regular per-frame decay (InfiniTamDriver.h:198-206). By default

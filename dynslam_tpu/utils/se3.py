@@ -90,6 +90,20 @@ def log_se3(T: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([w, V_inv @ t])
 
 
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues rotation exponential of a (3,) axis-angle vector."""
+    theta2 = jnp.sum(w * w)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    K = hat(w / theta)
+    R = (
+        jnp.eye(3, dtype=w.dtype)
+        + jnp.sin(theta) * K
+        + (1.0 - jnp.cos(theta)) * (K @ K)
+    )
+    # small-angle limit: I + hat(w)
+    return jnp.where(theta2 < 1e-12, jnp.eye(3, dtype=w.dtype) + hat(w), R)
+
+
 def euler_to_rot(rx, ry, rz) -> jnp.ndarray:
     """viso2-style rotation: R = Rx @ Ry @ Rz (libviso2 matcher convention)."""
     sx, cx = jnp.sin(rx), jnp.cos(rx)
