@@ -61,6 +61,7 @@ def _kernel_factory(cfg: T.TsdfConfig):
         cy_ref,  # scalar prefetch: (V,) int32
         cz_ref,  # scalar prefetch: (V,) int32
         valid_ref,  # scalar prefetch: (V,) int32
+        count_ref,  # scalar prefetch: (1,) int32 — number of live rows
         pose_ref,  # (3, 4) f32, SMEM
         intr_ref,  # (1, 4) f32, SMEM
         vox_ref,  # (3, 4, 128) f32 planar in-block voxel offsets, VMEM
@@ -78,7 +79,8 @@ def _kernel_factory(cfg: T.TsdfConfig):
         cx = intr_ref[0, 2]
         cy = intr_ref[0, 3]
 
-        for b in range(B):
+        def _fuse_blocks():
+          for b in range(B):
             gi = i * B + b
             bx = cx_ref[gi].astype(jnp.float32)
             by = cy_ref[gi].astype(jnp.float32)
@@ -179,6 +181,11 @@ def _kernel_factory(cfg: T.TsdfConfig):
                 )
             out_color_ref[b] = c_acc
 
+        # the visible list is compacted (fixed-size nonzero), so steps past
+        # ceil(count/B) hold only padding: skip their compute entirely
+        # (their outputs scatter with mode=drop in XLA regardless)
+        pl.when(i * B < count_ref[0])(_fuse_blocks)
+
     return kernel
 
 
@@ -250,7 +257,7 @@ def integrate_pallas(
     valids = far_mask.astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # coord x/y/z, valid
+        num_scalar_prefetch=5,  # coord x/y/z, valid, count
         grid=(V // B,),
         in_specs=[
             pl.BlockSpec((3, 4), lambda i, *_: (0, 0),
@@ -279,6 +286,7 @@ def integrate_pallas(
     coords_x = coords[:, 0]
     coords_y = coords[:, 1]
     coords_z = coords[:, 2]
+    count = jnp.sum(slots_mask).astype(jnp.int32).reshape(1)
     new_tsdfw, new_color = pl.pallas_call(
         _kernel_factory(cfg),
         grid_spec=grid_spec,
@@ -291,7 +299,7 @@ def integrate_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
-        coords_x, coords_y, coords_z, valids, pose34, intr, vox,
+        coords_x, coords_y, coords_z, valids, count, pose34, intr, vox,
         packed_img, tsdfw_rows, color_rows,
     )
 
