@@ -152,6 +152,10 @@ class VisualOdometryParams:
     bucket_height: int = 50
     #: max matched features carried through the pipeline (static shape)
     max_matches: int = 2048
+    #: subpixel refinement runs on at most this many (compacted) valid
+    #: matches — typical circular-match survival is well below it, so
+    #: this halves the LK gather volume with no accuracy change
+    refine_cap: int = 1024
     #: max detected corners per image before bucketing
     max_candidates: int = 2048
     ransac_iters: int = 500

@@ -68,12 +68,32 @@ class SparseSFProvider:
             flow, valid = feat_ops.circular_match(
                 cur_l, cur_r, prev_l, prev_r, self.params
             )
-            # consistent-reference subpixel refinement of all 4 coords
-            flow = jnp.where(
-                valid[:, None],
-                feat_ops.refine_flow_quad(lg, rg, prev_lg, prev_rg, flow),
-                flow,
-            )
+            # consistent-reference subpixel refinement of all 4 coords.
+            # Valid matches are COMPACTED first (typically ~25-50% of the
+            # candidate slots survive the circular check) so the LK
+            # gathers only touch real matches; overflow past refine_cap
+            # keeps integer precision and is dropped from `valid`.
+            N = flow.shape[0]
+            cap = min(self.params.refine_cap, N)
+            if cap < N:
+                (ridx,) = jnp.nonzero(valid, size=cap, fill_value=N)
+                r_ok = ridx < N
+                ridx_c = jnp.clip(ridx, 0, N - 1)
+                refined = feat_ops.refine_flow_quad(
+                    lg, rg, prev_lg, prev_rg, flow[ridx_c]
+                )
+                flow = flow.at[jnp.where(r_ok, ridx, N)].set(
+                    refined, mode="drop"
+                )
+                # matches beyond the cap stay integer-precision: drop them
+                n_valid_rank = jnp.cumsum(valid.astype(jnp.int32))
+                valid = valid & (n_valid_rank <= cap)
+            else:
+                flow = jnp.where(
+                    valid[:, None],
+                    feat_ops.refine_flow_quad(lg, rg, prev_lg, prev_rg, flow),
+                    flow,
+                )
             key = jax.random.fold_in(self._base_key, self._frame_counter)
             est = ego_ops.estimate_motion(
                 flow, valid, self.calib_vec, key,
