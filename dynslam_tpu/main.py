@@ -176,6 +176,38 @@ def main(argv=None) -> int:
                     os.path.join(args.out, f"frame{n:06d}_{pv.value}.png"),
                     img[..., ::-1],
                 )
+            # LIDAR-vs-fused-depth error overlay (the GUI's visual diff
+            # modes, headless — see eval/error_viz.py)
+            if dyn.evaluation is not None \
+                    and dyn.evaluation.velodyne.frame_available(
+                        input_.frame_offset + n):
+                from dynslam_tpu.eval.error_viz import render_depth_error
+
+                ev = dyn.evaluation
+                overlay = render_depth_error(
+                    ev.velodyne.read_frame(input_.frame_offset + n),
+                    dyn.get_static_map_raycast_depth_preview(),
+                    input_.get_images()[0],
+                    ev.calib.velo_to_left_cam, ev.calib.proj_left_color,
+                    ev.calib.proj_right_color,
+                    ev.baseline_m * ev.focal_px,
+                )
+                cv2.imwrite(
+                    os.path.join(args.out, f"frame{n:06d}_lidar_error.png"),
+                    overlay[..., ::-1],
+                )
+        if n and n % 50 == 0:
+            # device memory telemetry (the reference's cudaMemGetInfo
+            # readout, DynSLAMGUI.cpp:910-915)
+            try:
+                import jax
+
+                stats = jax.local_devices()[0].memory_stats() or {}
+                used = stats.get("bytes_in_use", 0) / 2 ** 20
+                lim = stats.get("bytes_limit", 0) / 2 ** 20
+                print(f"[device memory: {used:.0f} / {lim:.0f} MB in use]")
+            except Exception:
+                pass
         n += 1
         if args.frame_limit and n >= args.frame_limit:
             break

@@ -236,3 +236,31 @@ def test_bilateral_filter_flag_reaches_update_view(monkeypatch, tmp_path):
     dyn, inp = build_dynslam(root, cfg, with_instances=False)
     dyn.process_frame(inp)
     assert seen and all(seen)
+
+
+def test_error_viz_overlay():
+    """Headless LIDAR-vs-depth diff (GUI ErrorVisualizationCallback)."""
+    import numpy as np
+
+    from dynslam_tpu.eval.error_viz import render_depth_error
+
+    W, H, fx, baseline = 64, 48, 50.0, 0.5
+    P_left = np.array([[fx, 0, W / 2, 0], [0, fx, H / 2, 0], [0, 0, 1, 0]])
+    P_right = P_left.copy()
+    P_right[0, 3] = -fx * baseline
+    depth = np.full((H, W), 5.0, np.float32)
+    depth[:, :20] = 0.0  # missing band
+    rgb = np.full((H, W, 3), 100, np.uint8)
+    # 3 points: correct (5 m), wrong (map says 5, GT 2.5), into the hole
+    lidar = np.array([
+        [0.5, 0.0, 5.0],   # right half, matches
+        [0.3, 0.2, 2.5],   # disparity off by 2x -> error
+        [-1.6, 0.0, 5.0],  # projects into the missing band
+    ], np.float32)
+    out = render_depth_error(lidar, depth, rgb, np.eye(4), P_left, P_right,
+                             bf=fx * baseline)
+    assert out.shape == (H, W, 3)
+    flat = out.reshape(-1, 3)
+    assert (flat == (40, 220, 40)).all(axis=1).any()   # green splat
+    assert (flat == (230, 40, 40)).all(axis=1).any()   # red splat
+    assert (flat == (60, 90, 230)).all(axis=1).any()   # blue splat
