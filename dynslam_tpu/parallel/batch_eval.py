@@ -18,7 +18,6 @@ carries the `S`-sharded map states across time without re-sharding.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
