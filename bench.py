@@ -73,10 +73,8 @@ def main():
         DynSlamConfig, Intrinsics, MapParams, SceneParams, StereoCalibration,
         StereoMatcherParams, VisualOdometryParams, VoxelDecayParams,
     )
-    from dynslam_tpu.ops import depth as depth_ops
-    from dynslam_tpu.ops import stereo as stereo_ops
-    from dynslam_tpu.pipeline.mapping import MapEngine, engine_config_from
-    from dynslam_tpu.pipeline.sparse_sf import SparseSFProvider
+    from dynslam_tpu.pipeline.fused import FusedPipeline
+    from dynslam_tpu.pipeline.mapping import engine_config_from
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     left_np, right_np = render_frames()
@@ -110,8 +108,13 @@ def main():
                                max_decay_weight=1),
     )
 
-    engine = MapEngine(engine_config_from(cfg), cfg.decay, intr)
-    sf = SparseSFProvider((intr.fx, intr.cx, intr.cy), calib, cfg.vo)
+    # fused single-dispatch pipeline (pipeline/fused.py): the whole
+    # per-frame computation — stereo, VO, allocate+fuse, raycast, decay —
+    # is ONE jitted executable, so host dispatch overhead is one relay
+    # call (~6 ms) per frame instead of 15-20 (~100 ms)
+    engine = FusedPipeline(
+        engine_config_from(cfg), cfg.stereo, cfg.vo, cfg.decay, calib,
+    )
 
     # preload frames to the device (gray once for stereo+VO)
     left_dev = [jnp.asarray(x, jnp.float32) for x in left_np]
@@ -121,47 +124,34 @@ def main():
         for x in left_np
     ]
 
-    pose = jnp.eye(4, dtype=jnp.float32)  # device-resident pose chain
     frame_times = []
-    prev_raycast = None
+    prev_sync = None
     t_steady = None
 
     for i in range(N_FRAMES):
         t0 = time.perf_counter()
 
-        disp = stereo_ops.compute_disparity_jit(left_dev[i], right_dev[i],
-                                                cfg.stereo)
-        depth_m = depth_ops.depth_m_from_mm(
-            depth_ops.depth_mm_from_disparity(disp, calib.bf)
-        )
-
-        sf.compute_sparse_sf(left_dev[i], right_dev[i])
-        pose = sf.get_latest_motion_device() @ pose
-
-        engine.set_pose(pose)
-        engine.set_view_device(rgb_dev[i], depth_m)
+        engine.process_frame(left_dev[i], right_dev[i], rgb_dev[i])
         if i > 0:
-            engine.integrate()
-            engine.prepare_next_step()
-            engine.decay()
-            # one-frame-deep pipeline: block on the PREVIOUS frame's
-            # raycast so host dispatch of frame i overlaps device work of
-            # frame i-1 (bounded in-flight memory, honest throughput)
-            if prev_raycast is not None:
-                prev_raycast.depth.block_until_ready()
-            prev_raycast = engine.get_raycast()
-        else:
-            engine.frame_idx += 1
+            # one-frame-deep pipeline: FETCH the PREVIOUS frame's sync
+            # scalar (depends on every stage of that frame) so host
+            # dispatch of frame i overlaps device work of frame i-1.
+            # block_until_ready is unreliable AND slow through the relay
+            # (CLAUDE.md trap 2); a scalar fetch is one honest round trip.
+            if prev_sync is not None:
+                float(np.asarray(prev_sync))
+            prev_sync = engine.last_outputs.sync
 
         if i == WARMUP:
-            if prev_raycast is not None:
-                prev_raycast.depth.block_until_ready()
+            float(np.asarray(prev_sync))  # drain before the timed window
             t_steady = time.perf_counter()
         dt = time.perf_counter() - t0
         frame_times.append(dt)
         print(f"[bench] frame {i}: {dt * 1000:.1f} ms", file=sys.stderr)
 
-    prev_raycast.depth.block_until_ready()
+    # force truth: the final frame's sync scalar transitively depends on
+    # the whole sequence's compute chain
+    float(np.asarray(prev_sync))
     fps = (N_FRAMES - WARMUP - 1) / (time.perf_counter() - t_steady)
     used = engine.get_used_block_count()
     # secondary metric (BASELINE.json): TSDF fusion+raycast voxel throughput

@@ -1,0 +1,298 @@
+"""Single-dispatch fused frame step for the static-scene pipeline.
+
+Each XLA dispatch through this environment's TPU relay costs ~6 ms of
+host time; the staged MapEngine/SparseSFProvider path issues 15-20
+executables per frame (~100 ms/frame of pure dispatch overhead — more
+than half the frame budget at 5 FPS). This module traces the ENTIRE
+static-scene per-frame pipeline — census stereo -> depth -> feature
+detect / circular match / LK refine -> RANSAC egomotion -> pose chain
+-> TSDF allocate + fuse -> full-frame raycast -> voxel decay — into ONE
+jitted executable, so each frame costs exactly one dispatch and the
+host stays a frame ahead of the device.
+
+This is the per-frame loop of the reference's static mode
+(/root/reference/src/DynSLAM/DynSlam.cpp:18-175 with dynamic_mode off);
+dynamic mode keeps the staged path in pipeline/dynslam.py, which needs
+host-side tracker decisions between device stages. All compute comes
+from the same op modules the staged path uses (ops/stereo.py,
+ops/features.py, ops/egomotion.py, ops/tsdf.py, the Pallas kernels) —
+jit-of-jit inlines them into one trace, so numerical behavior is
+identical by construction (tests/test_fused.py pins this).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynslam_tpu.config import (
+    StereoCalibration, StereoMatcherParams, VisualOdometryParams,
+    VoxelDecayParams,
+)
+from dynslam_tpu.ops import depth as depth_ops
+from dynslam_tpu.ops import egomotion as ego_ops
+from dynslam_tpu.ops import features as feat_ops
+from dynslam_tpu.ops import stereo as stereo_ops
+from dynslam_tpu.ops import tsdf
+
+
+class FusedCarry(NamedTuple):
+    """Device-resident cross-frame state threaded through fused_step."""
+
+    state: tsdf.TsdfState
+    pose_w2c: jnp.ndarray  # (4, 4) world-to-camera (ITMPose convention)
+    held_motion: jnp.ndarray  # (4, 4) last successful VO delta (coast on fail)
+    prev_l: feat_ops.Features
+    prev_r: feat_ops.Features
+    prev_lg: jnp.ndarray  # (H, W) f32 previous left gray
+    prev_rg: jnp.ndarray  # (H, W) f32 previous right gray
+    frame_idx: jnp.ndarray  # i32 scalar
+    dropped: jnp.ndarray  # i32 cumulative pool-full allocation drops
+
+
+class FusedOutputs(NamedTuple):
+    raycast: tsdf.Raycast
+    depth_m: jnp.ndarray  # (H, W) f32 stereo depth of this frame
+    pose_w2c: jnp.ndarray  # (4, 4) pose after this frame's VO delta
+    vo_success: jnp.ndarray  # bool scalar
+    vo_inliers: jnp.ndarray  # i32 scalar
+    n_new_blocks: jnp.ndarray  # i32 scalar
+    n_freed_blocks: jnp.ndarray  # i32 scalar
+    sync: jnp.ndarray  # f32 scalar depending on every stage — fetching it
+    # (one ~35 ms relay round trip) is the reliable way to wait for the
+    # frame: block_until_ready through the relay is both unreliable and
+    # slow (~300 ms/call measured; CLAUDE.md trap 2)
+
+
+def _refine_matches(lg, rg, prev_lg, prev_rg, flow, valid, params):
+    """Compacted LK refinement — exact logic of
+    SparseSFProvider.compute_sparse_sf (pipeline/sparse_sf.py:72-96)."""
+    N = flow.shape[0]
+    cap = min(params.refine_cap, N)
+    if cap < N:
+        (ridx,) = jnp.nonzero(valid, size=cap, fill_value=N)
+        r_ok = ridx < N
+        ridx_c = jnp.clip(ridx, 0, N - 1)
+        refined = feat_ops.refine_flow_quad(
+            lg, rg, prev_lg, prev_rg, flow[ridx_c]
+        )
+        flow = flow.at[jnp.where(r_ok, ridx, N)].set(refined, mode="drop")
+        n_valid_rank = jnp.cumsum(valid.astype(jnp.int32))
+        valid = valid & (n_valid_rank <= cap)
+    else:
+        flow = jnp.where(
+            valid[:, None],
+            feat_ops.refine_flow_quad(lg, rg, prev_lg, prev_rg, flow),
+            flow,
+        )
+    return flow, valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "stereo_params", "vo_params", "use_pallas", "decay_enabled",
+    ),
+)
+def fused_step(
+    cfg: tsdf.TsdfConfig,
+    stereo_params: StereoMatcherParams,
+    vo_params: VisualOdometryParams,
+    use_pallas: bool,
+    decay_enabled: bool,
+    carry: FusedCarry,
+    left_gray: jnp.ndarray,  # (H, W) f32
+    right_gray: jnp.ndarray,  # (H, W) f32
+    rgb: jnp.ndarray,  # (H, W, 3) uint8
+    calib_vec: jnp.ndarray,  # (4,) fx, cu, cv, baseline (VO)
+    intr_vec: jnp.ndarray,  # (4,) fx, fy, cx, cy (raycast)
+    bf: jnp.ndarray,  # scalar baseline*focal
+    max_decay_weight: jnp.ndarray,  # f32 scalar
+    min_decay_age: jnp.ndarray,  # i32 scalar
+    base_key: jnp.ndarray,  # PRNG key
+):
+    """One full frame: returns (carry', FusedOutputs)."""
+    # --- stereo depth (ELAS-role census matcher) ------------------------
+    disp = stereo_ops.compute_disparity_jit(left_gray, right_gray,
+                                            stereo_params)
+    depth_mm = depth_ops.depth_mm_from_disparity(
+        disp, bf, cfg.min_depth, cfg.max_depth
+    )
+    depth_m = depth_ops.depth_m_from_mm(depth_mm)
+
+    # --- sparse scene flow + egomotion (libviso2 role) -------------------
+    cur_l = feat_ops.detect_features(left_gray, vo_params)
+    cur_r = feat_ops.detect_features(right_gray, vo_params)
+    flow, valid = feat_ops.circular_match(
+        cur_l, cur_r, carry.prev_l, carry.prev_r, vo_params
+    )
+    flow, valid = _refine_matches(
+        left_gray, right_gray, carry.prev_lg, carry.prev_rg,
+        flow, valid, vo_params,
+    )
+    key = jax.random.fold_in(base_key, carry.frame_idx)
+    est = ego_ops.estimate_motion(
+        flow, valid, calib_vec, key, jnp.zeros(6, jnp.float32), vo_params
+    )
+    held = jnp.where(est.success, est.matrix, carry.held_motion)
+    pose_w2c = held @ carry.pose_w2c  # new = delta @ old (CLAUDE.md)
+
+    # --- mapping: allocate + fuse + raycast + decay ----------------------
+    R = pose_w2c[:3, :3]
+    t = pose_w2c[:3, 3]
+    c2w = jnp.eye(4, dtype=jnp.float32)
+    c2w = c2w.at[:3, :3].set(R.T)
+    c2w = c2w.at[:3, 3].set(-R.T @ t)
+
+    origin = tsdf.compute_origin(cfg, c2w)
+    grid = tsdf.build_local_grid(cfg, carry.state, origin)
+    state, grid, (n_new, n_drop) = tsdf.allocate(
+        cfg, carry.state, grid, origin, depth_m, c2w, carry.frame_idx
+    )
+    slots, mask = tsdf.visible_blocks(cfg, state, grid, origin, pose_w2c)
+    if use_pallas:
+        from dynslam_tpu.ops.pallas_integrate import integrate_pallas
+        from dynslam_tpu.ops.pallas_raycast import raycast_tiled
+
+        state = integrate_pallas(
+            cfg, state, slots, mask, rgb, depth_m, pose_w2c, carry.frame_idx
+        )
+        rc = raycast_tiled(cfg, state, slots, mask, origin, c2w, intr_vec)
+    else:
+        state = tsdf.integrate(
+            cfg, state, slots, mask, rgb, depth_m, pose_w2c, carry.frame_idx
+        )
+        rc = tsdf.raycast(cfg, state, grid, origin, c2w, intr_vec)
+
+    next_idx = carry.frame_idx + 1
+    if decay_enabled:
+        state, n_freed = tsdf.decay(
+            cfg, state, next_idx, max_decay_weight, min_decay_age
+        )
+    else:
+        n_freed = jnp.int32(0)
+
+    carry2 = FusedCarry(
+        state=state,
+        pose_w2c=pose_w2c,
+        held_motion=held,
+        prev_l=cur_l,
+        prev_r=cur_r,
+        prev_lg=left_gray,
+        prev_rg=right_gray,
+        frame_idx=next_idx,
+        dropped=carry.dropped + n_drop,
+    )
+    sync = (
+        rc.depth[::64, ::64].sum()
+        + n_freed.astype(jnp.float32)
+        + est.num_inliers.astype(jnp.float32)
+        + pose_w2c[2, 3]
+    )
+    outs = FusedOutputs(
+        raycast=rc,
+        depth_m=depth_m,
+        pose_w2c=pose_w2c,
+        vo_success=est.success,
+        vo_inliers=est.num_inliers,
+        n_new_blocks=n_new,
+        n_freed_blocks=n_freed,
+        sync=sync,
+    )
+    return carry2, outs
+
+
+@partial(jax.jit, static_argnames=("vo_params",))
+def _bootstrap_features(vo_params: VisualOdometryParams, left_gray, right_gray):
+    return (
+        feat_ops.detect_features(left_gray, vo_params),
+        feat_ops.detect_features(right_gray, vo_params),
+    )
+
+
+class FusedPipeline:
+    """Host wrapper: bootstrap on frame 0, one dispatch per frame after.
+
+    Mirrors the bench/staged semantics: frame 0 only seeds features and
+    the view (no fusion — there is no VO delta yet, matching
+    DynSlam.cpp's first-frame handling); every later frame runs the full
+    fused step. The carry never leaves the device; accessors sync lazily.
+    """
+
+    def __init__(
+        self,
+        cfg: tsdf.TsdfConfig,
+        stereo_params: StereoMatcherParams,
+        vo_params: VisualOdometryParams,
+        decay_params: VoxelDecayParams,
+        calib: StereoCalibration,
+        use_pallas: Optional[bool] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.stereo_params = stereo_params
+        self.vo_params = vo_params
+        self.decay_params = decay_params
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
+        self.calib_vec = jnp.asarray(
+            [cfg.fx, cfg.cx, cfg.cy, calib.baseline_m], jnp.float32
+        )
+        self.intr_vec = jnp.asarray(
+            [cfg.fx, cfg.fy, cfg.cx, cfg.cy], jnp.float32
+        )
+        self.bf = jnp.float32(calib.bf)
+        self.base_key = jax.random.PRNGKey(seed)
+        self.carry: Optional[FusedCarry] = None
+        self.last_outputs: Optional[FusedOutputs] = None
+
+    def process_frame(self, left_gray, right_gray, rgb=None) -> None:
+        lg = jnp.asarray(left_gray, jnp.float32)
+        rg = jnp.asarray(right_gray, jnp.float32)
+        if rgb is None:
+            rgb = jnp.broadcast_to(
+                jnp.clip(lg, 0, 255).astype(jnp.uint8)[..., None],
+                (*lg.shape, 3),
+            )
+        else:
+            rgb = jnp.asarray(rgb, jnp.uint8)
+        if self.carry is None:
+            prev_l, prev_r = _bootstrap_features(self.vo_params, lg, rg)
+            self.carry = FusedCarry(
+                state=tsdf.create_state(self.cfg),
+                pose_w2c=jnp.eye(4, dtype=jnp.float32),
+                held_motion=jnp.eye(4, dtype=jnp.float32),
+                prev_l=prev_l,
+                prev_r=prev_r,
+                prev_lg=lg,
+                prev_rg=rg,
+                frame_idx=jnp.int32(1),
+                dropped=jnp.int32(0),
+            )
+            return
+        self.carry, self.last_outputs = fused_step(
+            self.cfg, self.stereo_params, self.vo_params, self.use_pallas,
+            self.decay_params.enabled,
+            self.carry, lg, rg, rgb, self.calib_vec, self.intr_vec, self.bf,
+            jnp.float32(self.decay_params.max_decay_weight),
+            jnp.int32(self.decay_params.min_decay_age),
+            self.base_key,
+        )
+
+    # -- accessors (sync on use) ------------------------------------------
+    def get_pose(self) -> np.ndarray:
+        return np.asarray(self.carry.pose_w2c)
+
+    def get_raycast(self) -> tsdf.Raycast:
+        return self.last_outputs.raycast
+
+    def get_used_block_count(self) -> int:
+        return int(tsdf.memory_stats(self.cfg, self.carry.state)[0])
+
+    def get_dropped_allocation_count(self) -> int:
+        return int(self.carry.dropped)
