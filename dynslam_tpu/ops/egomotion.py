@@ -63,6 +63,38 @@ def _residuals(tr, pts_prev, flow, fx, cu, cv, baseline):
     )
 
 
+def _chol_solve6(A, g):
+    """Solve the 6x6 SPD normal equations by fully unrolled Cholesky —
+    batched tiny `jnp.linalg.solve` lowers to XLA's pivoting LU, a TPU
+    slow path that dominated RANSAC (500 hypotheses x GN iters). Unrolled
+    scalar-plane math is pure VPU work. sqrt is clamped so degenerate
+    (rank-deficient) samples give large-but-finite deltas, which the
+    caller's divergence guard rejects like the previous NaN path."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        s = g[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in range(5, -1, -1):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _gn_solve(tr0, pts_prev, flow, weights, fx, cu, cv, baseline, iters):
     """Damped Gauss-Newton with per-match weights (0 disables a match)."""
 
@@ -75,7 +107,7 @@ def _gn_solve(tr0, pts_prev, flow, weights, fx, cu, cv, baseline, iters):
         J = jax.jacfwd(resid_flat)(tr)  # (4N, 6)
         A = J.T @ J + 1e-6 * jnp.eye(6)
         g = J.T @ r
-        delta = jnp.linalg.solve(A, g)
+        delta = _chol_solve6(A, g)
         # guard against divergence on degenerate samples
         ok = jnp.all(jnp.isfinite(delta)) & (jnp.linalg.norm(delta) < 10.0)
         tr_new = jnp.where(ok, tr - delta, tr)
@@ -111,9 +143,16 @@ def estimate_motion(
     keys = jax.random.split(key, params.ransac_iters)
 
     def sample_idx(k):
+        # top-3 via 3 argmax+mask passes — identical selection to
+        # lax.top_k(g, 3) but avoids its full-sort lowering on TPU
         g = jax.random.gumbel(k, (N,)) + logits
-        _, ids = jax.lax.top_k(g, 3)
-        return ids
+        lane = jax.lax.iota(jnp.int32, N)
+        ids = []
+        for _ in range(3):
+            i = jnp.argmax(g)
+            ids.append(i)
+            g = jnp.where(lane == i, -jnp.inf, g)
+        return jnp.stack(ids)
 
     sample_ids = jax.vmap(sample_idx)(keys)  # (iters, 3)
 
