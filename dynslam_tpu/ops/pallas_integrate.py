@@ -3,26 +3,37 @@
 TPU kernel.
 
 Why: the XLA version is bound by per-voxel random-access image gathers
-(~8.4M per frame at ~11-20 ns each => ~90 ms, PERFORMANCE.md). This
-kernel removes every per-element gather:
+(measured ~120 ns/element through this environment's TPU, ~8.4M per
+frame). This kernel removes every per-element gather:
 
 - **Compact-then-kernel**: visible voxel rows are gathered into a dense
   (V, 4, 128) array by XLA *row* gathers (contiguous rows stream at
-  HBM speed, ~2 ms — unlike element gathers), processed by the kernel
-  8 blocks per grid step through auto-pipelined BlockSpecs, and row-
+  HBM speed — unlike element gathers), processed by the kernel
+  B blocks per grid step through auto-pipelined BlockSpecs, and row-
   scattered back. No in-kernel DMA choreography needed.
-- the packed depth|rgb image stays **resident in VMEM** (two int32
-  planes, ~3.7 MB at KITTI size); each block dynamic-slices a 128x256
-  window around its projected footprint (`pl.ds`, 8/128-aligned);
-- per-voxel pixel sampling inside the window is a **one-hot MXU
-  contraction**: a (4,128,WIN_H)x(WIN_H,WIN_W) row-selector matmul
-  followed by a column-selector masked reduction on the VPU — no
-  per-lane dynamic indexing (which Mosaic forbids on TPU).
+- the image stays **resident in VMEM** as five pre-split bf16 planes
+  (depth hi/lo bytes + r/g/b, ~5 MB padded at KITTI size); each block
+  dynamic-slices a window around its projected footprint (`pl.ds`,
+  8/128-aligned starts);
+- per-voxel pixel sampling is a **one-hot MXU contraction** in the
+  "outer-dim" layout: the column one-hot is built as (win_w, 4, 128)
+  — voxel planes stay in their native (4, 128) sublane x lane layout,
+  broadcasts run along the cheap outer dim, and no relayout/transpose
+  ever touches a (4, 128) plane. The window contracts against it on
+  the MXU ((win_h, win_w) x (win_w, 4, 128) -> (win_h, 4, 128)), and a
+  row one-hot masked sum over the outer dim finishes the sample. 8-bit
+  integer planes are exact in bf16 and accumulate in f32, so sampling
+  is bit-exact while running at the MXU's native bf16 rate.
+- a per-block **occlusion gate** (window max depth vs block min z)
+  copies provably-unchanged blocks through without touching the MXU,
+  and the three color-plane contractions only run for blocks with at
+  least one voxel in the color shell (|eta| < mu/4).
 
-The 128x256 window covers a full 8^3 block's footprint for depths
->= ~2.2 m; *nearer* blocks are excluded from the kernel and fused by a
-fixed-size XLA pass (512-block cap), so close-range coverage is exact —
-v1's near-block skip is gone and the kernel is now the TPU default
+Two tiers share the kernel: the 128x256 window covers a full 8^3
+block's footprint for center depths >= ~4 m (at KITTI focal lengths);
+the remaining *near* blocks run a second pallas_call whose window is
+the WHOLE padded image, so any footprint is covered exactly — no XLA
+element-gather pass anywhere. The kernel is the TPU default
 (MapEngine.use_pallas_fusion auto).
 
 Parity with ops/tsdf.py::integrate is tested in interpret mode on CPU
@@ -35,26 +46,30 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dynslam_tpu.ops import tsdf as T
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: per-block image window (rows, cols); a block (0.4 m at voxel 0.05)
-#: at depth z spans ~ fx * 0.4 / z px
+#: per-block image window (rows, cols) of the far-tier kernel; a block
+#: (0.4 m at voxel 0.05) at depth z spans ~ fx * 0.4 / z px
 WIN_H = 128
 WIN_W = 256
-#: blocks fused per grid step
+#: blocks fused per grid step (far tier)
 BLOCKS_PER_STEP = 8
-#: fixed capacity of the XLA near-block pass
-NEAR_CAP = 512
+#: fixed row capacity of the near tier (full-image window kernel)
+NEAR_FULL_CAP = 1024
+#: blocks per grid step in the near tier (bigger per-block temporaries)
+NEAR_BLOCKS_PER_STEP = 4
 
 
-def _kernel_factory(cfg: T.TsdfConfig):
+def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int):
     mu = cfg.mu
     voxel = cfg.voxel_size
-    B = BLOCKS_PER_STEP
+    # the empty-window skip (no nonzero depth byte above the low 8 bits)
+    # is only provable when no valid measurement can hide in the low
+    # byte: d < 0.256 m must already fail the d >= min_depth test
+    can_skip_empty = cfg.min_depth >= 0.256
 
     def kernel(
         cx_ref,  # scalar prefetch: (V,) int32 block coord x
@@ -65,23 +80,27 @@ def _kernel_factory(cfg: T.TsdfConfig):
         pose_ref,  # (3, 4) f32, SMEM
         intr_ref,  # (1, 4) f32, SMEM
         vox_ref,  # (3, 4, 128) f32 planar in-block voxel offsets, VMEM
-        img_ref,  # (2, H, W) int32: [0]=depth mm, [1]=rgb888 (VMEM)
+        hi_ref,  # (Hp, Wp) bf16: depth mm >> 8 (VMEM, resident)
+        lo_ref,  # (Hp, Wp) bf16: depth mm & 0xFF
+        r_ref,  # (Hp, Wp) bf16: red
+        g_ref,  # (Hp, Wp) bf16: green
+        b_ref,  # (Hp, Wp) bf16: blue
         tsdfw_ref,  # (B, 4, 128) int32 — this step's compacted rows
         color_ref,  # (B, 4, 128) int32
         out_tsdfw_ref,  # (B, 4, 128) int32
         out_color_ref,  # (B, 4, 128) int32
     ):
         i = pl.program_id(0)
-        h = img_ref.shape[1]
-        w = img_ref.shape[2]
+        h = hi_ref.shape[0]
+        w = hi_ref.shape[1]
         fx = intr_ref[0, 0]
         fy = intr_ref[0, 1]
         cx = intr_ref[0, 2]
         cy = intr_ref[0, 3]
 
         def _fuse_blocks():
-          for b in range(B):
-            gi = i * B + b
+          for bi in range(B):
+            gi = i * B + bi
             bx = cx_ref[gi].astype(jnp.float32)
             by = cy_ref[gi].astype(jnp.float32)
             bz = cz_ref[gi].astype(jnp.float32)
@@ -103,12 +122,11 @@ def _kernel_factory(cfg: T.TsdfConfig):
             # statically-aligned dynamic-slice starts (8 sublane/128 lane)
             uc = jnp.sum(u) * (1.0 / 512.0)
             vc = jnp.sum(v) * (1.0 / 512.0)
-            v0 = jnp.clip(vc.astype(jnp.int32) - WIN_H // 2, 0, h - WIN_H)
+            v0 = jnp.clip(vc.astype(jnp.int32) - win_h // 2, 0, h - win_h)
             v0 = pl.multiple_of((v0 // 8) * 8, 8)
-            u0 = jnp.clip(uc.astype(jnp.int32) - WIN_W // 2, 0, w - WIN_W)
+            u0 = jnp.clip(uc.astype(jnp.int32) - win_w // 2, 0, w - win_w)
             u0 = pl.multiple_of((u0 // 128) * 128, 128)
-            win_d = img_ref[0, pl.ds(v0, WIN_H), pl.ds(u0, WIN_W)]
-            win_c = img_ref[1, pl.ds(v0, WIN_H), pl.ds(u0, WIN_W)]
+            win_hi = hi_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
 
             ui = jnp.floor(u + 0.5).astype(jnp.int32)
             vi = jnp.floor(v + 0.5).astype(jnp.int32)
@@ -116,70 +134,112 @@ def _kernel_factory(cfg: T.TsdfConfig):
                 & (z > 1e-3)
             lu = ui - u0
             lv = vi - v0
-            in_win = in_img & (lu >= 0) & (lu < WIN_W) & (lv >= 0) \
-                & (lv < WIN_H)
-            lu = jnp.clip(lu, 0, WIN_W - 1)
-            lv = jnp.clip(lv, 0, WIN_H - 1)
+            in_win = in_img & (lu >= 0) & (lu < win_w) & (lv >= 0) \
+                & (lv < win_h)
+            lu = jnp.clip(lu, 0, win_w - 1)
+            lv = jnp.clip(lv, 0, win_h - 1)
 
-            # one-hot sampling: rows via an MXU contraction, columns via a
-            # VPU masked reduce (the raycast kernel's proven pattern)
-            row_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (4, 128, WIN_H), 2
-            )
-            onehot_v = (row_ids == lv[..., None]).astype(jnp.float32)
+            # occlusion / empty-window gate: a voxel can only update when
+            # its eta = d - z > -mu. (max hi byte) * 256 + 255 bounds the
+            # window's depth from above, so if that bound is still below
+            # the block's min z - mu (block fully behind the current
+            # surface) the update is a provable no-op: copy rows through
+            # and skip every MXU contraction
+            hi_max = jnp.max(win_hi.astype(jnp.float32))
+            ub_mm = hi_max * 256.0 + 255.0
+            zmin = jnp.min(jnp.where(in_win, z, jnp.inf))
+            could_update = (ub_mm * 1e-3 > zmin - mu) & (valid_ref[gi] > 0)
+            if can_skip_empty:
+                could_update &= hi_max > 0
 
-            def row_select(win):
-                return jax.lax.dot_general(
-                    onehot_v, win.astype(jnp.float32),
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (4, 128, WIN_W)
+            @pl.when(jnp.logical_not(could_update))
+            def _copy_through():
+                out_tsdfw_ref[bi] = tsdfw_ref[bi]
+                out_color_ref[bi] = color_ref[bi]
 
-            rows_d = row_select(win_d)
-            rows_c = row_select(win_c)
-            col_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (4, 128, WIN_W), 2
-            )
-            onehot_u = (col_ids == lu[..., None]).astype(jnp.float32)
-            d_mm = jnp.sum(rows_d * onehot_u, axis=-1)
-            rgb_bits = jnp.sum(rows_c * onehot_u, axis=-1).astype(jnp.int32)
-
-            d = d_mm / 1000.0
-            d_ok = (d >= cfg.min_depth) & (d <= cfg.max_depth)
-            eta = d - z
-            update = in_win & d_ok & (eta > -mu) & (valid_ref[gi] > 0)
-            sdf_obs = jnp.clip(eta / mu, -1.0, 1.0)
-            if cfg.use_depth_weighting:
-                w_obs = jnp.clip(
-                    (cfg.max_depth / jnp.maximum(d, 0.5)) ** 2, 0.25, 5.0
+            @pl.when(could_update)
+            def _fuse_one():
+                # one-hot sampling in the outer-dim layout: both one-hots
+                # keep the voxel planes in their native (4, 128) minor
+                # dims and broadcast along the cheap OUTER dim, so no
+                # relayout ever touches a per-voxel plane
+                cid = jax.lax.broadcasted_iota(
+                    jnp.int32, (win_w, 4, 128), 0
                 )
-            else:
-                w_obs = jnp.ones_like(d)
-            w_obs = jnp.where(update, w_obs, 0.0)
+                onehot_u = (cid == lu[None]).astype(jnp.bfloat16)
 
-            packed_old = tsdfw_ref[b]  # (4, 128)
-            w_old = T.unpack_weight(packed_old)
-            t_old = T.unpack_sdf(packed_old)
-            denom = jnp.maximum(w_old + w_obs, 1e-6)
-            w_new = jnp.minimum(w_old + w_obs, cfg.max_weight)
-            t_new = jnp.where(
-                w_obs > 0, (t_old * w_old + sdf_obs * w_obs) / denom, t_old
-            )
-            out_tsdfw_ref[b] = T.pack_voxel(t_new, w_new)
+                def colsel(win):
+                    # (win_h, win_w) x (win_w, 4, 128) -> (win_h, 4, 128)
+                    return jax.lax.dot_general(
+                        win, onehot_u,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
 
-            c_old_bits = color_ref[b]  # (4, 128)
-            c_upd = update & (jnp.abs(eta) < mu * 0.25)
-            c_acc = jnp.int32(0)
-            for shift in (16, 8, 0):
-                old_ch = ((c_old_bits >> shift) & 0xFF).astype(jnp.float32)
-                px_ch = ((rgb_bits >> shift) & 0xFF).astype(jnp.float32)
-                new_ch = jnp.where(
-                    c_upd, (old_ch * w_old + px_ch * w_obs) / denom, old_ch
+                rid = jax.lax.broadcasted_iota(
+                    jnp.int32, (win_h, 4, 128), 0
                 )
-                c_acc = c_acc | (
-                    jnp.clip(new_ch + 0.5, 0, 255).astype(jnp.int32) << shift
+                onehot_v = (rid == lv[None]).astype(jnp.float32)
+
+                def sample(cols):
+                    return jnp.sum(cols * onehot_v, axis=0)  # (4, 128)
+
+                win_lo = lo_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+                d_mm = sample(colsel(win_hi) * 256.0 + colsel(win_lo))
+
+                d = d_mm / 1000.0
+                d_ok = (d >= cfg.min_depth) & (d <= cfg.max_depth)
+                eta = d - z
+                update = in_win & d_ok & (eta > -mu)
+                sdf_obs = jnp.clip(eta / mu, -1.0, 1.0)
+                if cfg.use_depth_weighting:
+                    w_obs = jnp.clip(
+                        (cfg.max_depth / jnp.maximum(d, 0.5)) ** 2, 0.25, 5.0
+                    )
+                else:
+                    w_obs = jnp.ones_like(d)
+                w_obs = jnp.where(update, w_obs, 0.0)
+
+                packed_old = tsdfw_ref[bi]  # (4, 128)
+                w_old = T.unpack_weight(packed_old)
+                t_old = T.unpack_sdf(packed_old)
+                denom = jnp.maximum(w_old + w_obs, 1e-6)
+                w_new = jnp.minimum(w_old + w_obs, cfg.max_weight)
+                t_new = jnp.where(
+                    w_obs > 0, (t_old * w_old + sdf_obs * w_obs) / denom,
+                    t_old,
                 )
-            out_color_ref[b] = c_acc
+                out_tsdfw_ref[bi] = T.pack_voxel(t_new, w_new)
+
+                c_old_bits = color_ref[bi]  # (4, 128)
+                c_upd = update & (jnp.abs(eta) < mu * 0.25)
+
+                # color changes only in a thin shell (|eta| < mu/4): most
+                # blocks skip the three color-plane contractions entirely
+                @pl.when(jnp.logical_not(jnp.any(c_upd)))
+                def _keep_color():
+                    out_color_ref[bi] = c_old_bits
+
+                @pl.when(jnp.any(c_upd))
+                def _blend_color():
+                    c_acc = jnp.int32(0)
+                    for shift, ch_ref in ((16, r_ref), (8, g_ref),
+                                          (0, b_ref)):
+                        win_ch = ch_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+                        px_ch = sample(colsel(win_ch))
+                        old_ch = (
+                            (c_old_bits >> shift) & 0xFF
+                        ).astype(jnp.float32)
+                        new_ch = jnp.where(
+                            c_upd,
+                            (old_ch * w_old + px_ch * w_obs) / denom,
+                            old_ch,
+                        )
+                        c_acc = c_acc | (
+                            jnp.clip(new_ch + 0.5, 0, 255).astype(jnp.int32)
+                            << shift
+                        )
+                    out_color_ref[bi] = c_acc
 
         # the visible list is compacted (fixed-size nonzero), so steps past
         # ceil(count/B) hold only padding: skip their compute entirely
@@ -189,16 +249,59 @@ def _kernel_factory(cfg: T.TsdfConfig):
     return kernel
 
 
-def _near_mask(cfg: T.TsdfConfig, coords: jnp.ndarray,
-               world_to_cam: jnp.ndarray) -> jnp.ndarray:
-    """Blocks whose projected footprint can exceed the kernel window
-    (center depth below the window's reach)."""
-    centers = (coords.astype(jnp.float32) + 0.5) * cfg.block_size
-    z = centers @ world_to_cam[2, :3] + world_to_cam[2, 3]
-    # footprint ~ fx * block_diag / z; window usable extent is
-    # (WIN_H - 8, WIN_W - 128) after alignment slack
-    reach = cfg.fx * cfg.block_size * 1.75 / max(WIN_H - 8, 1)
-    return z < max(reach, cfg.min_depth + cfg.block_size)
+def _reach_m(cfg: T.TsdfConfig, win_h: int) -> float:
+    """Nearest block-center depth whose full 8^3 footprint fits a
+    win_h-row window (footprint ~ fx * block_diag / z; usable extent is
+    win_h - 8 after sublane-alignment slack)."""
+    reach = cfg.fx * cfg.block_size * 1.75 / max(win_h - 8, 1)
+    return max(reach, cfg.min_depth + cfg.block_size)
+
+
+def _run_tier(cfg, win_h, win_w, B, interpret, planes, pose34, intr,
+              vox, coords, valids, count, tsdfw_rows, color_rows):
+    """One pallas_call over compacted rows with a (win_h, win_w) window."""
+    Vt = tsdfw_rows.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # coord x/y/z, valid, count
+        grid=(Vt // B,),
+        in_specs=[
+            pl.BlockSpec((3, 4), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 4, 128), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            # five bf16 image planes, whole-array resident in VMEM
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)
+        ] + [
+            pl.BlockSpec((B, 4, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 4, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, 4, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 4, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel_factory(cfg, win_h, win_w, B),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Vt, 4, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Vt, 4, 128), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        coords[:, 0], coords[:, 1], coords[:, 2], valids, count, pose34,
+        intr, vox, *planes, tsdfw_rows, color_rows,
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -214,8 +317,10 @@ def integrate_pallas(
     interpret: bool = False,
 ) -> T.TsdfState:
     """Drop-in replacement for ops.tsdf.integrate (same update rule).
-    Far blocks go through the Pallas kernel; blocks nearer than the
-    window's reach are fused by a fixed-size XLA pass (cap NEAR_CAP)."""
+    Two kernel tiers, zero per-element gathers: far blocks (footprint
+    fits a 128x256 window) stream 8/step; the remaining near blocks
+    (cap NEAR_FULL_CAP, compacted) use the WHOLE padded image as their
+    window, so any projected footprint is covered exactly."""
     P = cfg.pool_capacity
     V = slots.shape[0]
     B = BLOCKS_PER_STEP
@@ -225,93 +330,72 @@ def integrate_pallas(
         slots_mask, jnp.clip(slots, 0, P - 1), P - 1
     ).astype(jnp.int32)
     coords = state.block_coords[slots_c]  # (V, 3)
-    near = _near_mask(cfg, coords, world_to_cam) & slots_mask
-
-    # ---- near pass (XLA, exact, fixed size) ---------------------------
-    (near_idx,) = jnp.nonzero(near, size=NEAR_CAP, fill_value=V)
-    near_ok = near_idx < V
-    near_slots = jnp.where(near_ok, slots_c[jnp.clip(near_idx, 0, V - 1)], P)
-    state = T.integrate(
-        cfg, state, near_slots, near_ok, rgb, depth_m, world_to_cam,
-        frame_idx,
-    )
-
-    # ---- far pass (Pallas) --------------------------------------------
+    centers = (coords.astype(jnp.float32) + 0.5) * cfg.block_size
+    z_center = centers @ world_to_cam[2, :3] + world_to_cam[2, 3]
+    near = (z_center < _reach_m(cfg, WIN_H)) & slots_mask
     far_mask = slots_mask & ~near
-    far_slots = jnp.where(far_mask, slots_c, P - 1)
 
+    # pre-split bf16 image planes, padded to sublane/lane-aligned dims
+    # >= the far window. 8-bit integer planes are exact in bf16; padded
+    # pixels hold depth 0 (invalid -> provably no update, matching the
+    # XLA rule's in-image check)
+    h, w = depth_m.shape
+    hp = max(-(-h // 8) * 8, WIN_H)
+    wp = max(-(-w // 128) * 128, WIN_W)
     depth_mm_i = jnp.clip(depth_m * 1000.0, 0, 65535).astype(jnp.int32)
-    rgb_i = rgb.astype(jnp.int32)
-    packed_img = jnp.stack(
-        [depth_mm_i,
-         (rgb_i[..., 0] << 16) | (rgb_i[..., 1] << 8) | rgb_i[..., 2]],
-        axis=0,
-    )  # (2, H, W)
-
-    # compact row gathers (contiguous rows stream at HBM speed)
-    tsdfw_rows = state.tsdf_w[far_slots].reshape(V, 4, 128)
-    color_rows = state.color[far_slots].reshape(V, 4, 128)
+    pad = lambda a: jnp.pad(a, ((0, hp - h), (0, wp - w)))
+    planes = (
+        pad((depth_mm_i >> 8).astype(jnp.bfloat16)),
+        pad((depth_mm_i & 0xFF).astype(jnp.bfloat16)),
+        pad(rgb[..., 0].astype(jnp.bfloat16)),
+        pad(rgb[..., 1].astype(jnp.bfloat16)),
+        pad(rgb[..., 2].astype(jnp.bfloat16)),
+    )
 
     pose34 = world_to_cam[:3, :].astype(jnp.float32)
     intr = jnp.asarray([[cfg.fx, cfg.fy, cfg.cx, cfg.cy]], jnp.float32)
-    valids = far_mask.astype(jnp.int32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # coord x/y/z, valid, count
-        grid=(V // B,),
-        in_specs=[
-            pl.BlockSpec((3, 4), lambda i, *_: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i, *_: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, 4, 128), lambda i, *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole image, resident
-            pl.BlockSpec((B, 4, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 4, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((B, 4, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 4, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-
     vox = jnp.asarray(
         T._VOX_OFFSETS_NP.T.reshape(3, 4, 128), jnp.float32
     )
-    coords_x = coords[:, 0]
-    coords_y = coords[:, 1]
-    coords_z = coords[:, 2]
+
+    # ---- far tier: windowed kernel over the compacted visible prefix ---
+    far_slots = jnp.where(far_mask, slots_c, P - 1)
+    tsdfw_far = state.tsdf_w[far_slots].reshape(V, 4, 128)
+    color_far = state.color[far_slots].reshape(V, 4, 128)
     count = jnp.sum(slots_mask).astype(jnp.int32).reshape(1)
-    new_tsdfw, new_color = pl.pallas_call(
-        _kernel_factory(cfg),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((V, 4, 128), jnp.int32),
-            jax.ShapeDtypeStruct((V, 4, 128), jnp.int32),
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(
-        coords_x, coords_y, coords_z, valids, count, pose34, intr, vox,
-        packed_img, tsdfw_rows, color_rows,
+    far_tsdfw, far_color = _run_tier(
+        cfg, WIN_H, WIN_W, B, interpret, planes, pose34, intr, vox,
+        coords, far_mask.astype(jnp.int32), count, tsdfw_far, color_far,
     )
 
-    # scatter the compacted rows back (invalid/near rows dropped)
+    # ---- near tier: full-image window over compacted near rows ---------
+    (n_idx,) = jnp.nonzero(near, size=NEAR_FULL_CAP, fill_value=V)
+    n_ok = n_idx < V
+    n_idx_c = jnp.clip(n_idx, 0, V - 1)
+    n_slots = jnp.where(n_ok, slots_c[n_idx_c], P - 1)
+    tsdfw_near = state.tsdf_w[n_slots].reshape(NEAR_FULL_CAP, 4, 128)
+    color_near = state.color[n_slots].reshape(NEAR_FULL_CAP, 4, 128)
+    count_n = jnp.sum(near).astype(jnp.int32).reshape(1)
+    near_tsdfw, near_color = _run_tier(
+        cfg, hp, wp, NEAR_BLOCKS_PER_STEP, interpret, planes, pose34,
+        intr, vox, coords[n_idx_c], n_ok.astype(jnp.int32), count_n,
+        tsdfw_near, color_near,
+    )
+
+    # scatter both tiers back (disjoint row sets; invalid rows dropped)
     far_safe = jnp.where(far_mask, slots_c, P)
+    near_safe = jnp.where(n_ok, n_slots, P)
     slot_safe = jnp.where(slots_mask, slots, P)
     return state._replace(
         tsdf_w=state.tsdf_w.at[far_safe].set(
-            new_tsdfw.reshape(V, T.BLOCK3), mode="drop"
+            far_tsdfw.reshape(V, T.BLOCK3), mode="drop"
+        ).at[near_safe].set(
+            near_tsdfw.reshape(NEAR_FULL_CAP, T.BLOCK3), mode="drop"
         ),
         color=state.color.at[far_safe].set(
-            new_color.reshape(V, T.BLOCK3), mode="drop"
+            far_color.reshape(V, T.BLOCK3), mode="drop"
+        ).at[near_safe].set(
+            near_color.reshape(NEAR_FULL_CAP, T.BLOCK3), mode="drop"
         ),
         last_seen=state.last_seen.at[slot_safe].set(frame_idx, mode="drop"),
     )

@@ -105,15 +105,31 @@ def compute_disparity_jit(
         costs = jax.lax.map(cost_at, jnp.arange(D))  # (D, H, W)
 
     best_d = jnp.argmin(costs, axis=0)  # (H, W) int
-    dgrid = jnp.arange(D)[:, None, None]
+    c0 = jnp.min(costs, axis=0).astype(jnp.float32)
 
-    def take(d_idx):
-        d_idx = jnp.clip(d_idx, 0, D - 1)
-        return jnp.take_along_axis(costs, d_idx[None], axis=0)[0]
+    # neighbor costs (subpixel parabola) + runner-up (uniqueness) via ONE
+    # chunked masked-reduce pass over the volume — take_along_axis with
+    # computed indices is a TPU element-gather slow path (~19 ms for the
+    # three taps at KITTI size); masked mins are pure VPU streaming
+    BIG = jnp.int16(32767)
 
-    c0 = take(best_d).astype(jnp.float32)
-    cm = take(best_d - 1).astype(jnp.float32)
-    cp = take(best_d + 1).astype(jnp.float32)
+    def chunk_stats(d0):
+        sl = jax.lax.dynamic_slice_in_dim(costs, d0, CH, 0)  # (CH, H, W)
+        dd = d0 + jnp.arange(CH)[:, None, None]
+        bd = best_d[None]
+        cm_c = jnp.min(jnp.where(dd == bd - 1, sl, BIG), axis=0)
+        cp_c = jnp.min(jnp.where(dd == bd + 1, sl, BIG), axis=0)
+        sec_c = jnp.min(jnp.where(jnp.abs(dd - bd) > 1, sl, BIG), axis=0)
+        return cm_c, cp_c, sec_c
+
+    cm_ch, cp_ch, sec_ch = jax.lax.map(chunk_stats, jnp.arange(0, D, CH))
+    cm = jnp.min(cm_ch, axis=0).astype(jnp.float32)
+    cp = jnp.min(cp_ch, axis=0).astype(jnp.float32)
+    second = jnp.min(sec_ch, axis=0).astype(jnp.float32)
+    # border taps (best_d = 0 or D-1) behave like the old clipped take:
+    # reuse the center cost there
+    cm = jnp.where(best_d == 0, c0, cm)
+    cp = jnp.where(best_d == D - 1, c0, cp)
 
     # parabolic subpixel: offset in [-0.5, 0.5]
     denom = cm - 2.0 * c0 + cp
@@ -124,34 +140,51 @@ def compute_disparity_jit(
     disp = best_d.astype(jnp.float32) + offset
 
     # uniqueness: best must beat runner-up (excluding +-1 neighbors)
-    exclude = jnp.abs(dgrid - best_d[None]) <= 1
-    second = jnp.min(
-        jnp.where(exclude, jnp.int16(32767), costs), axis=0
-    ).astype(jnp.float32)
     unique_ok = c0 <= params.uniqueness * second
 
-    # left-right consistency: cost_R(x, d) = cost_L(x + d, d)
-    def right_cost_at(args):
-        cost_plane, d = args
-        rolled = jnp.roll(cost_plane, -d, axis=1)
-        return jnp.where(col >= w - d, jnp.int16(32767), rolled)
+    # left-right consistency: cost_R(x, d) = cost_L(x + d, d). The right
+    # argmin runs as a chunked running min (the (D, H, W) right volume is
+    # never materialized)
+    def lr_chunk(carry, d0):
+        best_c, best_i = carry
+        sl = jax.lax.dynamic_slice_in_dim(costs, d0, CH, 0)
+        dd = d0 + jnp.arange(CH)[:, None, None]
 
-    if CH > 1:
-        costs_r = jax.lax.map(
-            lambda d0: jax.vmap(right_cost_at)(
-                (jax.lax.dynamic_slice_in_dim(costs, d0, CH, 0),
-                 d0 + jnp.arange(CH))
-            ),
-            jnp.arange(0, D, CH),
-        ).reshape(D, h, w)
-    else:
-        costs_r = jax.lax.map(right_cost_at, (costs, jnp.arange(D)))
-    best_d_r = jnp.argmin(costs_r, axis=0).astype(jnp.float32)  # (H, W)
+        def one(args):
+            cost_plane, d = args
+            rolled = jnp.roll(cost_plane, -d, axis=1)
+            return jnp.where(col >= w - d, BIG, rolled)
 
-    # sample right disparity at x - disp(x)
-    xr = jnp.clip(col.astype(jnp.float32) - disp, 0, w - 1).astype(jnp.int32)
-    disp_r_at = jnp.take_along_axis(best_d_r, xr, axis=1)
-    lr_ok = jnp.abs(disp - disp_r_at) <= params.lr_max_diff
+        rolled = jax.vmap(one)((sl, d0 + jnp.arange(CH)))  # (CH, H, W)
+        c_min = jnp.min(rolled, axis=0)
+        i_min = d0 + jnp.argmin(rolled, axis=0).astype(jnp.int32)
+        upd = c_min < best_c  # strict: ties keep the lower disparity
+        return (jnp.where(upd, c_min, best_c),
+                jnp.where(upd, i_min, best_i)), None
+
+    (_, best_d_r), _ = jax.lax.scan(
+        lr_chunk,
+        (jnp.full((h, w), BIG, jnp.int16), jnp.zeros((h, w), jnp.int32)),
+        jnp.arange(0, D, CH),
+    )
+
+    # sample best_d_r at x - round(disp): gather-free masked-roll
+    # accumulation over the same disparity chunks (best_d selects which
+    # rolled copy each pixel reads)
+    def warp_chunk(carry, d0):
+        acc = carry
+        dd = d0 + jnp.arange(CH)[:, None, None]
+        rolled = jax.vmap(
+            lambda d: jnp.roll(best_d_r, d, axis=1)
+        )(d0 + jnp.arange(CH))  # (CH, H, W)
+        sel = (dd == best_d[None])
+        return acc + jnp.sum(jnp.where(sel, rolled, 0), axis=0), None
+
+    disp_r_at, _ = jax.lax.scan(
+        warp_chunk, jnp.zeros((h, w), jnp.int32), jnp.arange(0, D, CH)
+    )
+    lr_ok = jnp.abs(disp - disp_r_at.astype(jnp.float32)) \
+        <= params.lr_max_diff
 
     # borders where the search window ran off the image
     in_range = (col >= D) | (best_d < col)
