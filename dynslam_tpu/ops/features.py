@@ -305,62 +305,70 @@ def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-#: intensity quantization of the packed pair image (1/64 gray level)
-_PACK_SCALE = 64.0
+#: per-match LK window extent (pixels). Samples live in
+#: [center - 6.4, center + 6.4] (drift <= 1.5, offsets 3 * (1+s) with
+#: s <= 0.3, +1 bilinear corner), so an 18-window anchored 8 px before
+#: the rounded center covers every read with exact interior gradients.
+_LK_WIN = 18
 
 
-def pack_pairs(img: jnp.ndarray) -> jnp.ndarray:
-    """Pack horizontal pixel pairs into one int32 per pixel:
-    (img[y,x]*64) << 16 | (img[y,x+1]*64). Random-access gathers cost
-    ~20 ns/element on TPU regardless of width, so fetching both bilinear
-    x-neighbors per gather halves the LK sampling cost."""
-    q = jnp.clip(img * _PACK_SCALE, 0, 65535).astype(jnp.int32)
-    right = jnp.concatenate([q[:, 1:], q[:, -1:]], axis=1)
-    return (q << 16) | right
+def _extract_windows(img: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray):
+    """Per-match (K, 18, 18) image windows with top-left int corners
+    (x0, y0), gather-free: contiguous ROW slabs stream at HBM speed
+    (unlike per-element gathers, ~20-120 ns each on TPU), and the column
+    crop is a batched one-hot MXU contraction."""
+    h, w = img.shape
+    W = _LK_WIN
+    y0 = jnp.clip(y0, 0, h - W)
+    x0 = jnp.clip(x0, 0, w - W)
+    rows = jax.vmap(
+        lambda y: jax.lax.dynamic_slice(img, (y, 0), (W, w))
+    )(y0)  # (K, W, w) — contiguous row gather
+    cid = jax.lax.broadcasted_iota(jnp.int32, (1, w, W), 1)
+    sel = (cid == x0[:, None, None]
+           + jax.lax.broadcasted_iota(jnp.int32, (1, w, W), 2))
+    onehot = sel.astype(jnp.float32)  # (K, w, W)
+    return jax.lax.dot_general(
+        rows, onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (K, W, W)
 
 
-_GRAD_OFFSET = 512.0
+def _window_grads(win: jnp.ndarray):
+    """Central-difference gradients inside the window. The wrapped edge
+    rows/cols are never read (samples' bilinear corners stay >= 1 and
+    <= 16), so jnp.roll artifacts are harmless."""
+    gx = 0.5 * (jnp.roll(win, -1, 2) - jnp.roll(win, 1, 2))
+    gy = 0.5 * (jnp.roll(win, -1, 1) - jnp.roll(win, 1, 1))
+    return gx, gy
 
 
-def pack_grads(img: jnp.ndarray):
-    """Central-difference gradient maps, each pair-packed like the value
-    image (offset +512 to stay unsigned): bilinear gradient = 2 gathers
-    per component."""
-    gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
-    gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
-    return pack_pairs(gx + _GRAD_OFFSET), pack_pairs(gy + _GRAD_OFFSET)
+def _tent(pos: jnp.ndarray) -> jnp.ndarray:
+    """(K, P) fractional positions -> (K, P, W) bilinear row/col weights
+    (the tent function is exactly the 2-tap bilinear kernel)."""
+    grid = jnp.arange(_LK_WIN, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - grid))
 
 
-def _bilinear_pairs(imgp: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """Bilinear sample of a pair-packed image — 2 gathers per sample
-    (both x-neighbors arrive in one int32)."""
-    h, w = imgp.shape
-    x = jnp.clip(x, 0.0, w - 1.001)
-    y = jnp.clip(y, 0.0, h - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    ax = x - x0
-    ay = y - y0
-    g0 = imgp[y0, x0]
-    g1 = imgp[jnp.minimum(y0 + 1, h - 1), x0]
-    inv = 1.0 / _PACK_SCALE
-    # mask after the shift: the u16 high half may occupy the sign bit
-    v00 = ((g0 >> 16) & 0xFFFF).astype(jnp.float32) * inv
-    v01 = (g0 & 0xFFFF).astype(jnp.float32) * inv
-    v10 = ((g1 >> 16) & 0xFFFF).astype(jnp.float32) * inv
-    v11 = (g1 & 0xFFFF).astype(jnp.float32) * inv
-    top = v00 + (v01 - v00) * ax
-    bot = v10 + (v11 - v10) * ax
-    return top + (bot - top) * ay
-
-
-def _bilinear_grad_packed(imgp, gradp, x, y):
-    """Bilinear value + bilinear central-difference gradients from
-    pair-packed maps — 6 gathers per sample vs 12 for separate maps."""
-    val = _bilinear_pairs(imgp, x, y)
-    gx = _bilinear_pairs(gradp[0], x, y) - _GRAD_OFFSET
-    gy = _bilinear_pairs(gradp[1], x, y) - _GRAD_OFFSET
-    return val, gx, gy
+def _sample_windows(wins, lx, ly):
+    """Sample stacked per-match windows at fractional local positions.
+    wins: (K, W, W, C) value/gradient channels; lx, ly: (K, P).
+    Returns (K, P, C). Bilinear = separable tent weights contracted on
+    the MXU — no gathers anywhere."""
+    lx = jnp.clip(lx, 0.0, _LK_WIN - 1.001)
+    ly = jnp.clip(ly, 0.0, _LK_WIN - 1.001)
+    wy = _tent(ly)  # (K, P, W)
+    wx = _tent(lx)  # (K, P, W)
+    # (K, P, W) x (K, W, W*C) -> (K, P, W*C)
+    K, W = wins.shape[0], _LK_WIN
+    C = wins.shape[-1]
+    rowmix = jax.lax.dot_general(
+        wy, wins.reshape(K, W, W * C),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(K, -1, W, C)
+    return jnp.sum(rowmix * wx[..., None], axis=2)  # (K, P, C)
 
 
 @partial(jax.jit, static_argnames=("radius", "iters"))
@@ -377,23 +385,26 @@ def refine_flow_quad(
 
     The observation reference is the ROUNDED current-left pixel; its patch
     is aligned into the current-right, previous-left, and previous-right
-    images by iterative Lucas-Kanade (pair-packed bilinear sampling with
-    analytic gradients — 2 gathers per sample, see
-    `_bilinear_grad_packed`) — unbiased where 3-point SAD parabolas are
-    not. All four coordinates then describe the *same* physical patch, so
-    detector-phase errors cancel in both disparity and temporal flow (the
-    role of viso2's match.refinement). Stereo alignments are 1-dof
-    (x only) on the reference row — the pairs are rectified. Returns
-    refined (K, 8) flow.
+    images by iterative Lucas-Kanade — unbiased where 3-point SAD
+    parabolas are not. All four coordinates then describe the *same*
+    physical patch, so detector-phase errors cancel in both disparity and
+    temporal flow (the role of viso2's match.refinement). Stereo
+    alignments are 1-dof (x only) on the reference row — the pairs are
+    rectified. Returns refined (K, 8) flow.
+
+    TPU shape: per-match 18x18 windows are extracted ONCE per image
+    (contiguous row slabs + a one-hot column contraction, no element
+    gathers — see `_extract_windows`); every LK iteration then samples
+    values and analytic gradients from the windows with separable
+    bilinear tent weights on the MXU. Zero per-element gathers anywhere.
     """
     h, w = cur_l.shape
+    A = _LK_WIN // 2 - 1  # window anchor offset before the rounded center
+    # every sample (drift 1.5 + offsets radius*(1+0.3) + 1 bilinear
+    # corner) must stay inside the window with exact interior gradients
+    assert radius * 1.3 + 2.5 <= A, "patch radius too large for _LK_WIN"
     ui = jnp.round(flow[:, 0]).astype(jnp.int32)
     vi = jnp.round(flow[:, 1]).astype(jnp.int32)
-
-    cur_l_p = (pack_pairs(cur_l), pack_grads(cur_l))
-    cur_r_p = (pack_pairs(cur_r), pack_grads(cur_r))
-    prev_l_p = (pack_pairs(prev_l), pack_grads(prev_l))
-    prev_r_p = (pack_pairs(prev_r), pack_grads(prev_r))
 
     offs = [
         (float(dy), float(dx))
@@ -404,34 +415,48 @@ def refine_flow_quad(
     off_dy = jnp.asarray([dy for dy, dx in offs], jnp.float32)
     off_dx = jnp.asarray([dx for dy, dx in offs], jnp.float32)
 
-    def sample_patch_scaled(imgp, x, y, s):
-        """Patch (values + analytic gradients) whose offsets are scaled by
-        (1+s) — absorbs the radial-expansion field of forward motion,
+    def windows_at(img, x0i, y0i):
+        """(K, 18, 18, 3) value/gx/gy windows anchored at
+        (x0i - A, y0i - A), plus the actual float anchors."""
+        ax = jnp.clip(x0i - A, 0, w - _LK_WIN)
+        ay = jnp.clip(y0i - A, 0, h - _LK_WIN)
+        win = _extract_windows(img, ax, ay)
+        gx, gy = _window_grads(win)
+        return (jnp.stack([win, gx, gy], axis=-1),
+                ax.astype(jnp.float32), ay.astype(jnp.float32))
+
+    def sample_patch_scaled(wins3, ax, ay, x, y, s):
+        """Patch (values + analytic gradients) whose offsets are scaled
+        by (1+s) — absorbs the radial-expansion field of forward motion,
         which otherwise biases the translational estimate of large flows
         toward zero. Returns (t, gx, gy), each (K, P)."""
         xs = x[:, None] + off_dx[None, :] * (1.0 + s)[:, None]
         ys = y[:, None] + off_dy[None, :] * (1.0 + s)[:, None]
-        return _bilinear_grad_packed(imgp[0], imgp[1], xs, ys)
+        out = _sample_windows(wins3, xs - ax[:, None], ys - ay[:, None])
+        return out[..., 0], out[..., 1], out[..., 2]
 
     ui_f = ui.astype(jnp.float32)
     vi_f = vi.astype(jnp.float32)
-    ref, _, _ = sample_patch_scaled(cur_l_p, ui_f, vi_f, jnp.zeros_like(ui_f))
+    ref_w, ref_ax, ref_ay = windows_at(cur_l, ui, vi)
+    ref, _, _ = sample_patch_scaled(
+        ref_w, ref_ax, ref_ay, ui_f, vi_f, jnp.zeros_like(ui_f)
+    )
 
-    def lk(imgp, x0, y0, solve_y: bool):
-        """Align ref into imgp starting at (x0, y0); returns (x, y).
-        Solves for (dx[, dy, dscale]) per match."""
+    def lk(wins3, ax, ay, x0, y0, solve_y: bool):
+        """Align ref into the windows starting at (x0, y0); returns
+        (x, y). Solves for (dx[, dy, dscale]) per match."""
 
         def step(carry, _):
             x, y, s = carry
-            t, gx, gy = sample_patch_scaled(imgp, x, y, s)
+            t, gx, gy = sample_patch_scaled(wins3, ax, ay, x, y, s)
             # d(patch)/d(scale) = offsets . gradient
             gs = gx * off_dx[None, :] + gy * off_dy[None, :]
             r = t - ref
             if solve_y:
                 g = jnp.stack([gx, gy, gs], axis=1)  # (K, 3, P)
-                A = jnp.einsum("kip,kjp->kij", g, g) + 1e-4 * jnp.eye(3)
+                A3 = jnp.einsum("kip,kjp->kij", g, g) + 1e-4 * jnp.eye(3)
                 bvec = jnp.einsum("kip,kp->ki", g, r)
-                delta = -jnp.linalg.solve(A, bvec[..., None])[..., 0]
+                delta = -jnp.linalg.solve(A3, bvec[..., None])[..., 0]
                 dx, dy, ds = delta[:, 0], delta[:, 1], delta[:, 2]
             else:
                 dx = -jnp.sum(gx * r, -1) / (jnp.sum(gx * gx, -1) + 1e-6)
@@ -449,18 +474,26 @@ def refine_flow_quad(
         y = jnp.clip(y, y0 - 1.5, y0 + 1.5)
         return x, y
 
-    vp0 = jnp.round(flow[:, 5]).astype(jnp.float32)
+    vp0i = jnp.round(flow[:, 5]).astype(jnp.int32)
+    vp0 = vp0i.astype(jnp.float32)
 
-    u2c, _ = lk(cur_r_p, jnp.round(flow[:, 2]).astype(jnp.float32), vi_f, False)
-    u1p, v1p = lk(prev_l_p, jnp.round(flow[:, 4]).astype(jnp.float32), vp0, True)
+    u2c0i = jnp.round(flow[:, 2]).astype(jnp.int32)
+    cr_w, cr_ax, cr_ay = windows_at(cur_r, u2c0i, vi)
+    u2c, _ = lk(cr_w, cr_ax, cr_ay, u2c0i.astype(jnp.float32), vi_f, False)
+
+    u1p0i = jnp.round(flow[:, 4]).astype(jnp.int32)
+    plw, pl_ax, pl_ay = windows_at(prev_l, u1p0i, vp0i)
+    u1p, v1p = lk(plw, pl_ax, pl_ay, u1p0i.astype(jnp.float32), vp0, True)
+
     # prev-right: x free, row fixed to the prev-left refined row (rectified)
-    u2p0 = jnp.round(flow[:, 6]).astype(jnp.float32)
+    u2p0i = jnp.round(flow[:, 6]).astype(jnp.int32)
+    prw, pr_ax, pr_ay = windows_at(prev_r, u2p0i, vp0i)
 
-    def lk_x_at_row(imgp, x0, row):
+    def lk_x_at_row(wins3, ax, ay, x0, row):
         def step(carry, _):
             x = carry
             t, gx, _ = sample_patch_scaled(
-                imgp, x, row, jnp.zeros_like(x)
+                wins3, ax, ay, x, row, jnp.zeros_like(x)
             )
             r = t - ref
             dx = -jnp.sum(gx * r, -1) / (jnp.sum(gx * gx, -1) + 1e-6)
@@ -469,7 +502,7 @@ def refine_flow_quad(
         x, _ = jax.lax.scan(step, x0, None, length=iters)
         return jnp.clip(x, x0 - 1.5, x0 + 1.5)
 
-    u2p = lk_x_at_row(prev_r_p, u2p0, v1p)
+    u2p = lk_x_at_row(prw, pr_ax, pr_ay, u2p0i.astype(jnp.float32), v1p)
 
     return jnp.stack(
         [

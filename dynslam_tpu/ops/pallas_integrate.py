@@ -59,17 +59,38 @@ WIN_W = 256
 BLOCKS_PER_STEP = 8
 #: fixed row capacity of the near tier (full-image window kernel)
 NEAR_FULL_CAP = 1024
+#: debug knob for cost attribution (profiling only): "copy" forces every
+#: block through the copy path, "fast" through the free-space path
+_FORCE_MODE = None
 #: blocks per grid step in the near tier (bigger per-block temporaries)
 NEAR_BLOCKS_PER_STEP = 4
 
 
-def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int):
+#: depth-stat tile size (rows, cols): per-tile min/max of the depth hi
+#: byte let the kernel bound every block's SAMPLED pixels (footprint),
+#: not its whole window — a window that grazes sky/invalid pixels no
+#: longer forces the full sampling path
+TILE_H = 16
+TILE_W = 128
+
+
+def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
+                    img_h: int, img_w: int, r_tiles: int, c_tiles: int):
     mu = cfg.mu
     voxel = cfg.voxel_size
     # the empty-window skip (no nonzero depth byte above the low 8 bits)
     # is only provable when no valid measurement can hide in the low
     # byte: d < 0.256 m must already fail the d >= min_depth test
     can_skip_empty = cfg.min_depth >= 0.256
+    # analytic free-space fast path: when every pixel in the window is a
+    # valid in-range measurement strictly beyond the block (min depth
+    # > max voxel z + mu), every in-window voxel provably gets the same
+    # observation (sdf_obs = 1, w_obs = 1, no color change) — apply it
+    # without any MXU sampling. Only exact when w_obs doesn't depend on
+    # the sampled depth, i.e. depth weighting is off. This is the common
+    # case: most visible blocks sit in carved free space between the
+    # camera and the surface.
+    use_fast_free = not cfg.use_depth_weighting
 
     def kernel(
         cx_ref,  # scalar prefetch: (V,) int32 block coord x
@@ -79,6 +100,8 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int):
         count_ref,  # scalar prefetch: (1,) int32 — number of live rows
         pose_ref,  # (3, 4) f32, SMEM
         intr_ref,  # (1, 4) f32, SMEM
+        tmin_ref,  # (nty, ntx) f32, SMEM: per-tile min of the depth hi byte
+        tmax_ref,  # (nty, ntx) f32, SMEM: per-tile max
         vox_ref,  # (3, 4, 128) f32 planar in-block voxel offsets, VMEM
         hi_ref,  # (Hp, Wp) bf16: depth mm >> 8 (VMEM, resident)
         lo_ref,  # (Hp, Wp) bf16: depth mm & 0xFF
@@ -119,19 +142,26 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int):
             v = y / safe_z * fy + cy
 
             # window anchored at the projected block center; Mosaic needs
-            # statically-aligned dynamic-slice starts (8 sublane/128 lane)
+            # statically-aligned dynamic-slice starts (8 sublane/128 lane).
+            # Bias by half the alignment granule BEFORE flooring so the
+            # alignment slack splits evenly: guaranteed margins are then
+            # win_h/2 - 4 rows and win_w/2 - 64 cols on BOTH sides (without
+            # the bias the flooring skews the window left/up, silently
+            # dropping right-edge voxels of blocks near the tier's reach)
             uc = jnp.sum(u) * (1.0 / 512.0)
             vc = jnp.sum(v) * (1.0 / 512.0)
-            v0 = jnp.clip(vc.astype(jnp.int32) - win_h // 2, 0, h - win_h)
+            v0 = jnp.clip(vc.astype(jnp.int32) - win_h // 2 + 4, 0, h - win_h)
             v0 = pl.multiple_of((v0 // 8) * 8, 8)
-            u0 = jnp.clip(uc.astype(jnp.int32) - win_w // 2, 0, w - win_w)
+            u0 = jnp.clip(uc.astype(jnp.int32) - win_w // 2 + 64, 0, w - win_w)
             u0 = pl.multiple_of((u0 // 128) * 128, 128)
-            win_hi = hi_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
 
-            ui = jnp.floor(u + 0.5).astype(jnp.int32)
-            vi = jnp.floor(v + 0.5).astype(jnp.int32)
-            in_img = (ui >= 0) & (ui <= w - 1) & (vi >= 0) & (vi <= h - 1) \
-                & (z > 1e-3)
+            ui = jnp.round(u).astype(jnp.int32)
+            vi = jnp.round(v).astype(jnp.int32)
+            # float-coordinate bounds against the TRUE image dims — the
+            # exact rule of ops/tsdf.py::integrate (the window dims h/w
+            # include lane/sublane padding, which must stay excluded)
+            in_img = (u >= 0) & (u <= img_w - 1) & (v >= 0) \
+                & (v <= img_h - 1) & (z > 1e-3)
             lu = ui - u0
             lv = vi - v0
             in_win = in_img & (lu >= 0) & (lu < win_w) & (lv >= 0) \
@@ -139,25 +169,92 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int):
             lu = jnp.clip(lu, 0, win_w - 1)
             lv = jnp.clip(lv, 0, win_h - 1)
 
-            # occlusion / empty-window gate: a voxel can only update when
-            # its eta = d - z > -mu. (max hi byte) * 256 + 255 bounds the
-            # window's depth from above, so if that bound is still below
+            # footprint depth bounds from the precomputed tile stats: the
+            # SAMPLED pixels of this block lie in the bbox of its in-win
+            # voxels' (vi, ui); fmin/fmax bound the depth hi byte over
+            # the tiles covering that bbox. Tight per-footprint bounds
+            # (vs whole-window) are what let sky-grazing windows still
+            # take the cheap paths. Scalar SMEM reads, unrolled.
+            big = jnp.int32(1 << 30)
+            vmin_i = jnp.min(jnp.where(in_win, vi, big))
+            vmax_i = jnp.max(jnp.where(in_win, vi, -1))
+            umin_i = jnp.min(jnp.where(in_win, ui, big))
+            umax_i = jnp.max(jnp.where(in_win, ui, -1))
+            nty = tmin_ref.shape[0]
+            ntx = tmin_ref.shape[1]
+            ty0 = jnp.clip(vmin_i // TILE_H, 0, nty - 1)
+            ty1 = jnp.clip(vmax_i // TILE_H, 0, nty - 1)
+            tx0 = jnp.clip(umin_i // TILE_W, 0, ntx - 1)
+            tx1 = jnp.clip(umax_i // TILE_W, 0, ntx - 1)
+            fmin = jnp.float32(1e9)
+            fmax = jnp.float32(-1.0)
+            for ti in range(r_tiles):
+                ty = jnp.minimum(ty0 + ti, nty - 1)
+                row_ok = (ty0 + ti) <= ty1
+                for tj in range(c_tiles):
+                    tx = jnp.minimum(tx0 + tj, ntx - 1)
+                    ok = row_ok & ((tx0 + tj) <= tx1)
+                    fmin = jnp.where(
+                        ok, jnp.minimum(fmin, tmin_ref[ty, tx]), fmin
+                    )
+                    fmax = jnp.where(
+                        ok, jnp.maximum(fmax, tmax_ref[ty, tx]), fmax
+                    )
+
+            # occlusion / empty-footprint gate: a voxel can only update
+            # when its eta = d - z > -mu. fmax * 256 + 255 bounds every
+            # sampled depth from above, so if that bound is still below
             # the block's min z - mu (block fully behind the current
             # surface) the update is a provable no-op: copy rows through
             # and skip every MXU contraction
-            hi_max = jnp.max(win_hi.astype(jnp.float32))
-            ub_mm = hi_max * 256.0 + 255.0
+            ub_mm = fmax * 256.0 + 255.0
             zmin = jnp.min(jnp.where(in_win, z, jnp.inf))
             could_update = (ub_mm * 1e-3 > zmin - mu) & (valid_ref[gi] > 0)
             if can_skip_empty:
-                could_update &= hi_max > 0
+                could_update &= fmax > 0
+            if _FORCE_MODE == "copy":
+                could_update &= jnp.bool_(False)
 
             @pl.when(jnp.logical_not(could_update))
             def _copy_through():
                 out_tsdfw_ref[bi] = tsdfw_ref[bi]
                 out_color_ref[bi] = color_ref[bi]
 
-            @pl.when(could_update)
+            if use_fast_free:
+                # lower bound on any sampled depth: every pixel in the
+                # footprint tiles has d >= fmin * 256 mm (fmin > 0 also
+                # proves there is no invalid/zero pixel among them)
+                lb_m = fmin * 0.256
+                zmax = jnp.max(jnp.where(in_win, z, -jnp.inf))
+                fast_free = (
+                    (fmin > 0)
+                    & (lb_m > zmax + mu)
+                    & (lb_m >= cfg.min_depth)
+                    & (ub_mm * 1e-3 <= cfg.max_depth)
+                )
+                if _FORCE_MODE == "fast":
+                    fast_free = fast_free | jnp.bool_(True)
+
+                @pl.when(could_update & fast_free)
+                def _fuse_free():
+                    w_obs = jnp.where(in_win, 1.0, 0.0)
+                    packed_old = tsdfw_ref[bi]
+                    w_old = T.unpack_weight(packed_old)
+                    t_old = T.unpack_sdf(packed_old)
+                    denom = jnp.maximum(w_old + w_obs, 1e-6)
+                    w_new = jnp.minimum(w_old + w_obs, cfg.max_weight)
+                    # sdf_obs == 1 for every updated voxel (eta > mu)
+                    t_new = jnp.where(
+                        w_obs > 0, (t_old * w_old + w_obs) / denom, t_old
+                    )
+                    out_tsdfw_ref[bi] = T.pack_voxel(t_new, w_new)
+                    out_color_ref[bi] = color_ref[bi]
+
+                full_path = could_update & jnp.logical_not(fast_free)
+            else:
+                full_path = could_update
+
+            @pl.when(full_path)
             def _fuse_one():
                 # one-hot sampling in the outer-dim layout: both one-hots
                 # keep the voxel planes in their native (4, 128) minor
@@ -166,7 +263,8 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int):
                 cid = jax.lax.broadcasted_iota(
                     jnp.int32, (win_w, 4, 128), 0
                 )
-                onehot_u = (cid == lu[None]).astype(jnp.bfloat16)
+                lu_sel = lu * 0 if _FORCE_MODE == "const-onehot" else lu
+                onehot_u = (cid == lu_sel[None]).astype(jnp.bfloat16)
 
                 def colsel(win):
                     # (win_h, win_w) x (win_w, 4, 128) -> (win_h, 4, 128)
@@ -184,6 +282,7 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int):
                 def sample(cols):
                     return jnp.sum(cols * onehot_v, axis=0)  # (4, 128)
 
+                win_hi = hi_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
                 win_lo = lo_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
                 d_mm = sample(colsel(win_hi) * 256.0 + colsel(win_lo))
 
@@ -257,10 +356,12 @@ def _reach_m(cfg: T.TsdfConfig, win_h: int) -> float:
     return max(reach, cfg.min_depth + cfg.block_size)
 
 
-def _run_tier(cfg, win_h, win_w, B, interpret, planes, pose34, intr,
-              vox, coords, valids, count, tsdfw_rows, color_rows):
+def _run_tier(cfg, win_h, win_w, B, interpret, img_hw, tile_unroll, planes,
+              stats, pose34, intr, vox, coords, valids, count, tsdfw_rows,
+              color_rows):
     """One pallas_call over compacted rows with a (win_h, win_w) window."""
     Vt = tsdfw_rows.shape[0]
+    nty, ntx = stats[0].shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,  # coord x/y/z, valid, count
         grid=(Vt // B,),
@@ -268,6 +369,10 @@ def _run_tier(cfg, win_h, win_w, B, interpret, planes, pose34, intr,
             pl.BlockSpec((3, 4), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nty, ntx), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nty, ntx), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((3, 4, 128), lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -288,7 +393,8 @@ def _run_tier(cfg, win_h, win_w, B, interpret, planes, pose34, intr,
         ],
     )
     return pl.pallas_call(
-        _kernel_factory(cfg, win_h, win_w, B),
+        _kernel_factory(cfg, win_h, win_w, B, img_hw[0], img_hw[1],
+                        tile_unroll[0], tile_unroll[1]),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Vt, 4, 128), jnp.int32),
@@ -300,7 +406,7 @@ def _run_tier(cfg, win_h, win_w, B, interpret, planes, pose34, intr,
         ),
     )(
         coords[:, 0], coords[:, 1], coords[:, 2], valids, count, pose34,
-        intr, vox, *planes, tsdfw_rows, color_rows,
+        intr, stats[0], stats[1], vox, *planes, tsdfw_rows, color_rows,
     )
 
 
@@ -320,7 +426,10 @@ def integrate_pallas(
     Two kernel tiers, zero per-element gathers: far blocks (footprint
     fits a 128x256 window) stream 8/step; the remaining near blocks
     (cap NEAR_FULL_CAP, compacted) use the WHOLE padded image as their
-    window, so any projected footprint is covered exactly."""
+    window, so any projected footprint is covered exactly. (A half-
+    height mid tier for distant blocks was tried and NET-NEGATIVE: the
+    per-block cost is dominated by the window-size-independent column
+    one-hot build, so the extra pass's fixed cost outweighed it.)"""
     P = cfg.pool_capacity
     V = slots.shape[0]
     B = BLOCKS_PER_STEP
@@ -340,8 +449,8 @@ def integrate_pallas(
     # pixels hold depth 0 (invalid -> provably no update, matching the
     # XLA rule's in-image check)
     h, w = depth_m.shape
-    hp = max(-(-h // 8) * 8, WIN_H)
-    wp = max(-(-w // 128) * 128, WIN_W)
+    hp = max(-(-h // TILE_H) * TILE_H, WIN_H)
+    wp = max(-(-w // TILE_W) * TILE_W, WIN_W)
     depth_mm_i = jnp.clip(depth_m * 1000.0, 0, 65535).astype(jnp.int32)
     pad = lambda a: jnp.pad(a, ((0, hp - h), (0, wp - w)))
     planes = (
@@ -350,6 +459,19 @@ def integrate_pallas(
         pad(rgb[..., 0].astype(jnp.bfloat16)),
         pad(rgb[..., 1].astype(jnp.bfloat16)),
         pad(rgb[..., 2].astype(jnp.bfloat16)),
+    )
+
+    # per-tile min/max of the depth hi byte (SMEM in the kernel): bound
+    # any block's sampled pixels by the tiles covering its footprint
+    nty, ntx = hp // TILE_H, wp // TILE_W
+    hi_t = planes[0].astype(jnp.float32).reshape(nty, TILE_H, ntx, TILE_W)
+    stats = (hi_t.min(axis=(1, 3)), hi_t.max(axis=(1, 3)))
+    # max tiles a block's sampled bbox can span: in_win clamps sampled
+    # voxels to the window, so the window extent is a strict bound
+    # (+1 tile for arbitrary alignment against the tile grid)
+    far_unroll = (
+        min(WIN_H // TILE_H + 1, nty),
+        min(WIN_W // TILE_W + 1, ntx),
     )
 
     pose34 = world_to_cam[:3, :].astype(jnp.float32)
@@ -364,8 +486,9 @@ def integrate_pallas(
     color_far = state.color[far_slots].reshape(V, 4, 128)
     count = jnp.sum(slots_mask).astype(jnp.int32).reshape(1)
     far_tsdfw, far_color = _run_tier(
-        cfg, WIN_H, WIN_W, B, interpret, planes, pose34, intr, vox,
-        coords, far_mask.astype(jnp.int32), count, tsdfw_far, color_far,
+        cfg, WIN_H, WIN_W, B, interpret, (h, w), far_unroll, planes, stats,
+        pose34, intr, vox, coords, far_mask.astype(jnp.int32), count,
+        tsdfw_far, color_far,
     )
 
     # ---- near tier: full-image window over compacted near rows ---------
@@ -377,9 +500,9 @@ def integrate_pallas(
     color_near = state.color[n_slots].reshape(NEAR_FULL_CAP, 4, 128)
     count_n = jnp.sum(near).astype(jnp.int32).reshape(1)
     near_tsdfw, near_color = _run_tier(
-        cfg, hp, wp, NEAR_BLOCKS_PER_STEP, interpret, planes, pose34,
-        intr, vox, coords[n_idx_c], n_ok.astype(jnp.int32), count_n,
-        tsdfw_near, color_near,
+        cfg, hp, wp, NEAR_BLOCKS_PER_STEP, interpret, (h, w), (nty, ntx),
+        planes, stats, pose34, intr, vox, coords[n_idx_c],
+        n_ok.astype(jnp.int32), count_n, tsdfw_near, color_near,
     )
 
     # scatter both tiers back (disjoint row sets; invalid rows dropped)
