@@ -127,7 +127,12 @@ def build_candidates(
 
     key = jnp.where(overlap, -z_min[None, None, :], -jnp.inf)
     key = key.reshape(n_tiles, -1)
-    vals, idx = jax.lax.top_k(key, K)  # nearest-first
+    # nearest-first selection. approx_max_k avoids the full per-tile
+    # sort that exact top_k lowers to on TPU (~4 ms at 120x16384); at
+    # recall 0.99 an overflowing tile may swap ~1 of K near blocks for
+    # a farther one — the kernel is order-independent and the dropped
+    # block is almost always occluded. CPU lowering is exact.
+    vals, idx = jax.lax.approx_max_k(key, K, recall_target=0.99)
     valid = jnp.isfinite(vals)
     cand_slot = jnp.where(valid, slots_c[idx], P - 1).astype(jnp.int32)
 

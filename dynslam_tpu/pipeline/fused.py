@@ -97,6 +97,11 @@ def _refine_matches(lg, rg, prev_lg, prev_rg, flow, valid, params):
     static_argnames=(
         "cfg", "stereo_params", "vo_params", "use_pallas", "decay_enabled",
     ),
+    # the carry is consumed every frame: donating it lets XLA alias the
+    # ~0.5 GB pool arrays into the outputs, so allocate/integrate/decay
+    # scatter in place instead of copying the pool each frame. Callers
+    # must never touch a carry after passing it (FusedPipeline rebinds).
+    donate_argnames=("carry",),
 )
 def fused_step(
     cfg: tsdf.TsdfConfig,
@@ -252,6 +257,17 @@ class FusedPipeline:
         self.last_outputs: Optional[FusedOutputs] = None
 
     def process_frame(self, left_gray, right_gray, rgb=None) -> None:
+        # static decay gate: no block can reach min_decay_age before
+        # frame min_decay_age (alloc_frame >= 0), so the full-pool decay
+        # pass is a provable no-op until then — trace it OUT of the
+        # executable instead of paying its ~0.5 GB stream per frame.
+        # (A traced lax.cond can't help: XLA copies the pool through the
+        # untaken branch.) Costs one extra compile when the threshold is
+        # first crossed.
+        self._frames = getattr(self, "_frames", 0) + 1
+        decay_on = self.decay_params.enabled and (
+            self._frames >= int(self.decay_params.min_decay_age)
+        )
         lg = jnp.asarray(left_gray, jnp.float32)
         rg = jnp.asarray(right_gray, jnp.float32)
         if rgb is None:
@@ -277,7 +293,7 @@ class FusedPipeline:
             return
         self.carry, self.last_outputs = fused_step(
             self.cfg, self.stereo_params, self.vo_params, self.use_pallas,
-            self.decay_params.enabled,
+            decay_on,
             self.carry, lg, rg, rgb, self.calib_vec, self.intr_vec, self.bf,
             jnp.float32(self.decay_params.max_decay_weight),
             jnp.int32(self.decay_params.min_decay_age),

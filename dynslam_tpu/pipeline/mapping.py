@@ -231,6 +231,10 @@ class MapEngine:
         the pipeline); pass blocking=True to get it as an int."""
         if not self.decay_params.enabled:
             return 0
+        # no block can reach min_decay_age before that many frames have
+        # passed (alloc_frame >= 0): skip the full-pool pass entirely
+        if self.frame_idx < int(self.decay_params.min_decay_age):
+            return 0
         self.state, n = tsdf.decay(
             self.cfg, self.state, jnp.int32(self.frame_idx),
             jnp.float32(self.decay_params.max_decay_weight),
