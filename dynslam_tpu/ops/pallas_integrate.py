@@ -121,7 +121,129 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
         cx = intr_ref[0, 2]
         cy = intr_ref[0, 3]
 
+        def _window_at(su, sv, nb):
+            """Aligned window anchor from summed projected coords of nb
+            blocks. Mosaic needs statically-aligned dynamic-slice starts
+            (8 sublane / 128 lane); bias by half the alignment granule
+            BEFORE flooring so the slack splits evenly — guaranteed
+            margins are win_h/2 - 4 rows and win_w/2 - 64 cols on BOTH
+            sides (an unbiased floor skews the window left/up, silently
+            dropping right-edge voxels near the tier's reach)."""
+            uc = su * (1.0 / (512.0 * nb))
+            vc = sv * (1.0 / (512.0 * nb))
+            v0 = jnp.clip(vc.astype(jnp.int32) - win_h // 2 + 4, 0,
+                          h - win_h)
+            v0 = pl.multiple_of((v0 // 8) * 8, 8)
+            u0 = jnp.clip(uc.astype(jnp.int32) - win_w // 2 + 64, 0,
+                          w - win_w)
+            u0 = pl.multiple_of((u0 // 128) * 128, 128)
+            return v0, u0
+
+        def _localize(d, v0, u0):
+            lu = d["ui"] - u0
+            lv = d["vi"] - v0
+            in_win = d["in_img"] & (lu >= 0) & (lu < win_w) & (lv >= 0) \
+                & (lv < win_h)
+            return (jnp.clip(lu, 0, win_w - 1),
+                    jnp.clip(lv, 0, win_h - 1), in_win)
+
+        def _apply_update(bi, d, d_mm, upd):
+            """TSDF blend for one block given sampled depth (mm); writes
+            the packed voxel row and returns the color-blend context."""
+            dd = d_mm / 1000.0
+            d_ok = (dd >= cfg.min_depth) & (dd <= cfg.max_depth)
+            eta = dd - d["z"]
+            update = upd & d_ok & (eta > -mu)
+            sdf_obs = jnp.clip(eta / mu, -1.0, 1.0)
+            if cfg.use_depth_weighting:
+                w_obs = jnp.clip(
+                    (cfg.max_depth / jnp.maximum(dd, 0.5)) ** 2, 0.25, 5.0
+                )
+            else:
+                w_obs = jnp.ones_like(dd)
+            w_obs = jnp.where(update, w_obs, 0.0)
+            packed_old = tsdfw_ref[bi]  # (4, 128)
+            w_old = T.unpack_weight(packed_old)
+            t_old = T.unpack_sdf(packed_old)
+            denom = jnp.maximum(w_old + w_obs, 1e-6)
+            w_new = jnp.minimum(w_old + w_obs, cfg.max_weight)
+            t_new = jnp.where(
+                w_obs > 0, (t_old * w_old + sdf_obs * w_obs) / denom, t_old
+            )
+            out_tsdfw_ref[bi] = T.pack_voxel(t_new, w_new)
+            c_upd = update & (jnp.abs(eta) < mu * 0.25)
+            return c_upd, w_old, w_obs, denom
+
+        def _blend_channel(bi, ctx, px_ch, shift, c_acc):
+            c_upd, w_old, w_obs, denom = ctx
+            old_ch = ((color_ref[bi] >> shift) & 0xFF).astype(jnp.float32)
+            new_ch = jnp.where(
+                c_upd, (old_ch * w_old + px_ch * w_obs) / denom, old_ch
+            )
+            return c_acc | (
+                jnp.clip(new_ch + 0.5, 0, 255).astype(jnp.int32) << shift
+            )
+
+        def _single_full(bi, d):
+            """Windowed one-hot sampling + blend for one block (the
+            original per-block path; also the pair fallback)."""
+            v0, u0 = _window_at(d["su"], d["sv"], 1)
+            lu, lv, in_win = _localize(d, v0, u0)
+            # one-hot sampling in the outer-dim layout: both one-hots
+            # keep the voxel planes in their native (4, 128) minor dims
+            # and broadcast along the cheap OUTER dim, so no relayout
+            # ever touches a per-voxel plane
+            cid = jax.lax.broadcasted_iota(jnp.int32, (win_w, 4, 128), 0)
+            onehot_u = (cid == lu[None]).astype(jnp.bfloat16)
+
+            def colsel(win):
+                # (win_h, win_w) x (win_w, 4, 128) -> (win_h, 4, 128)
+                return jax.lax.dot_general(
+                    win, onehot_u,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            rid = jax.lax.broadcasted_iota(jnp.int32, (win_h, 4, 128), 0)
+            onehot_v = (rid == lv[None]).astype(jnp.float32)
+
+            def sample(cols):
+                return jnp.sum(cols * onehot_v, axis=0)  # (4, 128)
+
+            win_hi = hi_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+            win_lo = lo_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+            d_mm = sample(colsel(win_hi) * 256.0 + colsel(win_lo))
+            ctx = _apply_update(bi, d, d_mm, in_win)
+
+            # color changes only in a thin shell (|eta| < mu/4): most
+            # blocks skip the three color-plane contractions entirely
+            @pl.when(jnp.logical_not(jnp.any(ctx[0])))
+            def _keep_color():
+                out_color_ref[bi] = color_ref[bi]
+
+            @pl.when(jnp.any(ctx[0]))
+            def _blend_color():
+                c_acc = jnp.int32(0)
+                for shift, ch_ref in ((16, r_ref), (8, g_ref), (0, b_ref)):
+                    win_ch = ch_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+                    c_acc = _blend_channel(
+                        bi, ctx, sample(colsel(win_ch)), shift, c_acc
+                    )
+                out_color_ref[bi] = c_acc
+
+        # NOTE: a paired-block variant (two depth-neighbor blocks sharing
+        # one window, one (win_w, 8, 128) one-hot + one dot serving both)
+        # was tried and measured SLOWER than two singles even when forced
+        # on every pair: Mosaic pads (4, 128) planes to full (8, 128)
+        # tiles, so the "joint" ops cost the same as the single-block
+        # ones while the pair bookkeeping adds work.
         def _fuse_blocks():
+          nty = tmin_ref.shape[0]
+          ntx = tmin_ref.shape[1]
+          big = jnp.int32(1 << 30)
+          infos = []
+
+          # ---- phase 1: projection + footprint-tile gates per block ----
           for bi in range(B):
             gi = i * B + bi
             bx = cx_ref[gi].astype(jnp.float32)
@@ -140,21 +262,6 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
             safe_z = jnp.maximum(z, 1e-3)
             u = x / safe_z * fx + cx
             v = y / safe_z * fy + cy
-
-            # window anchored at the projected block center; Mosaic needs
-            # statically-aligned dynamic-slice starts (8 sublane/128 lane).
-            # Bias by half the alignment granule BEFORE flooring so the
-            # alignment slack splits evenly: guaranteed margins are then
-            # win_h/2 - 4 rows and win_w/2 - 64 cols on BOTH sides (without
-            # the bias the flooring skews the window left/up, silently
-            # dropping right-edge voxels of blocks near the tier's reach)
-            uc = jnp.sum(u) * (1.0 / 512.0)
-            vc = jnp.sum(v) * (1.0 / 512.0)
-            v0 = jnp.clip(vc.astype(jnp.int32) - win_h // 2 + 4, 0, h - win_h)
-            v0 = pl.multiple_of((v0 // 8) * 8, 8)
-            u0 = jnp.clip(uc.astype(jnp.int32) - win_w // 2 + 64, 0, w - win_w)
-            u0 = pl.multiple_of((u0 // 128) * 128, 128)
-
             ui = jnp.round(u).astype(jnp.int32)
             vi = jnp.round(v).astype(jnp.int32)
             # float-coordinate bounds against the TRUE image dims — the
@@ -162,30 +269,24 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
             # include lane/sublane padding, which must stay excluded)
             in_img = (u >= 0) & (u <= img_w - 1) & (v >= 0) \
                 & (v <= img_h - 1) & (z > 1e-3)
-            lu = ui - u0
-            lv = vi - v0
-            in_win = in_img & (lu >= 0) & (lu < win_w) & (lv >= 0) \
-                & (lv < win_h)
-            lu = jnp.clip(lu, 0, win_w - 1)
-            lv = jnp.clip(lv, 0, win_h - 1)
 
-            # footprint depth bounds from the precomputed tile stats: the
-            # SAMPLED pixels of this block lie in the bbox of its in-win
-            # voxels' (vi, ui); fmin/fmax bound the depth hi byte over
-            # the tiles covering that bbox. Tight per-footprint bounds
-            # (vs whole-window) are what let sky-grazing windows still
-            # take the cheap paths. Scalar SMEM reads, unrolled.
-            big = jnp.int32(1 << 30)
-            vmin_i = jnp.min(jnp.where(in_win, vi, big))
-            vmax_i = jnp.max(jnp.where(in_win, vi, -1))
-            umin_i = jnp.min(jnp.where(in_win, ui, big))
-            umax_i = jnp.max(jnp.where(in_win, ui, -1))
-            nty = tmin_ref.shape[0]
-            ntx = tmin_ref.shape[1]
+            # footprint depth bounds from the precomputed tile stats:
+            # the SAMPLED pixels of this block lie in the bbox of its
+            # in-IMAGE voxels' (vi, ui) — a superset of any window's
+            # sampled set, so the gates stay conservative no matter
+            # which window the sampling phase picks. Scalar SMEM reads,
+            # unrolled; bboxes wider than the unrolled sweep (shouldn't
+            # happen inside a tier, but never trust geometry) fall
+            # through to the full path.
+            vmin_i = jnp.min(jnp.where(in_img, vi, big))
+            vmax_i = jnp.max(jnp.where(in_img, vi, -1))
+            umin_i = jnp.min(jnp.where(in_img, ui, big))
+            umax_i = jnp.max(jnp.where(in_img, ui, -1))
             ty0 = jnp.clip(vmin_i // TILE_H, 0, nty - 1)
             ty1 = jnp.clip(vmax_i // TILE_H, 0, nty - 1)
             tx0 = jnp.clip(umin_i // TILE_W, 0, ntx - 1)
             tx1 = jnp.clip(umax_i // TILE_W, 0, ntx - 1)
+            spans_ok = ((ty1 - ty0) < r_tiles) & ((tx1 - tx0) < c_tiles)
             fmin = jnp.float32(1e9)
             fmax = jnp.float32(-1.0)
             for ti in range(r_tiles):
@@ -208,10 +309,12 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
             # surface) the update is a provable no-op: copy rows through
             # and skip every MXU contraction
             ub_mm = fmax * 256.0 + 255.0
-            zmin = jnp.min(jnp.where(in_win, z, jnp.inf))
-            could_update = (ub_mm * 1e-3 > zmin - mu) & (valid_ref[gi] > 0)
+            zmin = jnp.min(jnp.where(in_img, z, jnp.inf))
+            could_update = (
+                (ub_mm * 1e-3 > zmin - mu) | jnp.logical_not(spans_ok)
+            ) & (valid_ref[gi] > 0)
             if can_skip_empty:
-                could_update &= fmax > 0
+                could_update &= (fmax > 0) | jnp.logical_not(spans_ok)
             if _FORCE_MODE == "copy":
                 could_update &= jnp.bool_(False)
 
@@ -225,9 +328,10 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
                 # footprint tiles has d >= fmin * 256 mm (fmin > 0 also
                 # proves there is no invalid/zero pixel among them)
                 lb_m = fmin * 0.256
-                zmax = jnp.max(jnp.where(in_win, z, -jnp.inf))
+                zmax = jnp.max(jnp.where(in_img, z, -jnp.inf))
                 fast_free = (
-                    (fmin > 0)
+                    spans_ok
+                    & (fmin > 0)
                     & (lb_m > zmax + mu)
                     & (lb_m >= cfg.min_depth)
                     & (ub_mm * 1e-3 <= cfg.max_depth)
@@ -237,7 +341,10 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
 
                 @pl.when(could_update & fast_free)
                 def _fuse_free():
-                    w_obs = jnp.where(in_win, 1.0, 0.0)
+                    # under the fast conditions the update set is exactly
+                    # the in-image voxels (every sampled pixel is valid,
+                    # in range, and beyond the block: eta > mu)
+                    w_obs = jnp.where(in_img, 1.0, 0.0)
                     packed_old = tsdfw_ref[bi]
                     w_old = T.unpack_weight(packed_old)
                     t_old = T.unpack_sdf(packed_old)
@@ -250,95 +357,20 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
                     out_tsdfw_ref[bi] = T.pack_voxel(t_new, w_new)
                     out_color_ref[bi] = color_ref[bi]
 
-                full_path = could_update & jnp.logical_not(fast_free)
+                full = could_update & jnp.logical_not(fast_free)
             else:
-                full_path = could_update
+                full = could_update
 
-            @pl.when(full_path)
-            def _fuse_one():
-                # one-hot sampling in the outer-dim layout: both one-hots
-                # keep the voxel planes in their native (4, 128) minor
-                # dims and broadcast along the cheap OUTER dim, so no
-                # relayout ever touches a per-voxel plane
-                cid = jax.lax.broadcasted_iota(
-                    jnp.int32, (win_w, 4, 128), 0
-                )
-                lu_sel = lu * 0 if _FORCE_MODE == "const-onehot" else lu
-                onehot_u = (cid == lu_sel[None]).astype(jnp.bfloat16)
+            infos.append(dict(
+                z=z, in_img=in_img, ui=ui, vi=vi,
+                su=jnp.sum(u), sv=jnp.sum(v), full=full,
+            ))
 
-                def colsel(win):
-                    # (win_h, win_w) x (win_w, 4, 128) -> (win_h, 4, 128)
-                    return jax.lax.dot_general(
-                        win, onehot_u,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-
-                rid = jax.lax.broadcasted_iota(
-                    jnp.int32, (win_h, 4, 128), 0
-                )
-                onehot_v = (rid == lv[None]).astype(jnp.float32)
-
-                def sample(cols):
-                    return jnp.sum(cols * onehot_v, axis=0)  # (4, 128)
-
-                win_hi = hi_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
-                win_lo = lo_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
-                d_mm = sample(colsel(win_hi) * 256.0 + colsel(win_lo))
-
-                d = d_mm / 1000.0
-                d_ok = (d >= cfg.min_depth) & (d <= cfg.max_depth)
-                eta = d - z
-                update = in_win & d_ok & (eta > -mu)
-                sdf_obs = jnp.clip(eta / mu, -1.0, 1.0)
-                if cfg.use_depth_weighting:
-                    w_obs = jnp.clip(
-                        (cfg.max_depth / jnp.maximum(d, 0.5)) ** 2, 0.25, 5.0
-                    )
-                else:
-                    w_obs = jnp.ones_like(d)
-                w_obs = jnp.where(update, w_obs, 0.0)
-
-                packed_old = tsdfw_ref[bi]  # (4, 128)
-                w_old = T.unpack_weight(packed_old)
-                t_old = T.unpack_sdf(packed_old)
-                denom = jnp.maximum(w_old + w_obs, 1e-6)
-                w_new = jnp.minimum(w_old + w_obs, cfg.max_weight)
-                t_new = jnp.where(
-                    w_obs > 0, (t_old * w_old + sdf_obs * w_obs) / denom,
-                    t_old,
-                )
-                out_tsdfw_ref[bi] = T.pack_voxel(t_new, w_new)
-
-                c_old_bits = color_ref[bi]  # (4, 128)
-                c_upd = update & (jnp.abs(eta) < mu * 0.25)
-
-                # color changes only in a thin shell (|eta| < mu/4): most
-                # blocks skip the three color-plane contractions entirely
-                @pl.when(jnp.logical_not(jnp.any(c_upd)))
-                def _keep_color():
-                    out_color_ref[bi] = c_old_bits
-
-                @pl.when(jnp.any(c_upd))
-                def _blend_color():
-                    c_acc = jnp.int32(0)
-                    for shift, ch_ref in ((16, r_ref), (8, g_ref),
-                                          (0, b_ref)):
-                        win_ch = ch_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
-                        px_ch = sample(colsel(win_ch))
-                        old_ch = (
-                            (c_old_bits >> shift) & 0xFF
-                        ).astype(jnp.float32)
-                        new_ch = jnp.where(
-                            c_upd,
-                            (old_ch * w_old + px_ch * w_obs) / denom,
-                            old_ch,
-                        )
-                        c_acc = c_acc | (
-                            jnp.clip(new_ch + 0.5, 0, 255).astype(jnp.int32)
-                            << shift
-                        )
-                    out_color_ref[bi] = c_acc
+          # ---- phase 2: windowed full sampling for the surviving blocks
+          for bi in range(B):
+            pl.when(infos[bi]["full"])(
+                lambda bi_=bi, d=infos[bi]: _single_full(bi_, d)
+            )
 
         # the visible list is compacted (fixed-size nonzero), so steps past
         # ceil(count/B) hold only padding: skip their compute entirely

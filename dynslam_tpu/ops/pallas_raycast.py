@@ -9,21 +9,25 @@ module replaces gathers with block-granular DMA + MXU one-hot sampling:
 
 1. **Candidate rasterization (XLA, scatter/compare only)**: every visible
    block's AABB is projected to the image; a separable tile-overlap test
-   plus a per-tile `top_k` by camera depth yields, for each 32x128 image
+   plus a per-tile `top_k` by camera depth yields, for each 8x128 image
    tile, the K nearest candidate blocks (near geometry wins when a tile
-   overflows K).
+   overflows K; SHORT tiles keep a tile's rays at similar depths so
+   horizon rows don't lose their far blocks to near-block flooding).
 2. **Pallas kernel, grid = image tiles**: each tile DMAs its K candidate
-   voxel-block rows (2 KB each) from HBM into VMEM. Marching runs in
-   three phases:
-   - *placement*: per-ray sample positions from the candidate AABB
-     intervals — fixed dt inside blocks, leaps over uncovered gaps
+   voxel-block rows (2 KB each) from HBM into VMEM, then runs ONE fused
+   march loop with per-tile early termination:
+   - *placement*: the next sample position per ray from the candidate
+     AABB intervals — fixed dt inside blocks, leaps over uncovered gaps
      (the distance-field skip of the XLA path, done in-register);
-   - *sampling*: each step's 4096 nearest-voxel lookups become ONE
-     (32,128,256)x(256,128) one-hot contraction on the MXU against the
-     stacked candidate blocks (row one-hot = linearized local block id,
-     lane select on the VPU). Unallocated/zero-weight voxels read +1.0;
-   - *crossing*: sign-change detection + linear interpolation over the
-     stored (S, 32, 128) SDF buffer, first (nearest) crossing wins.
+   - *sampling*: each step's per-ray nearest-voxel lookups become ONE
+     (TILE_H,128,K*4)x(K*4,128) one-hot contraction on the MXU against
+     the stacked candidate blocks (row one-hot = linearized local block
+     id, lane select on the VPU). Unallocated/zero-weight voxels read
+     +1.0;
+   - *crossing*: sign-change detection + linear interpolation against
+     the previous sample; the first (nearest) crossing wins.
+   Once every ray has either crossed or left candidate coverage, the
+   remaining steps skip both the interval scans and the MXU sample.
    A post-pass samples color + voxel weight at the interpolated hit
    (fallback: the crossing sample), so no XLA-side hit gathers remain.
 
@@ -48,7 +52,7 @@ from dynslam_tpu.ops import tsdf as T
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 32
+TILE_H = 8
 TILE_W = 128
 
 _BIG = 1e9
@@ -125,14 +129,17 @@ def build_candidates(
     # (Ty, Tx, V)
     overlap = ovy.T[:, None, :] & ovx.T[None, :, :] & ok[None, None, :]
 
+    # nearest-first selection, exact. Tiles are only 8 px tall (see
+    # TILE_H): depth varies strongly across image ROWS near the horizon,
+    # so short tiles keep each tile's rays at similar depths and near
+    # blocks can't evict the far blocks horizon rays terminate on.
+    # (Tried and rejected: approx_max_k — collapses clustered valid
+    # entries into shared aggregation buckets; depth-bin and row-band
+    # quota schemes — both starve tiles relative to plain nearest-K on
+    # short tiles.)
     key = jnp.where(overlap, -z_min[None, None, :], -jnp.inf)
     key = key.reshape(n_tiles, -1)
-    # nearest-first selection. approx_max_k avoids the full per-tile
-    # sort that exact top_k lowers to on TPU (~4 ms at 120x16384); at
-    # recall 0.99 an overflowing tile may swap ~1 of K near blocks for
-    # a farther one — the kernel is order-independent and the dropped
-    # block is almost always occluded. CPU lowering is exact.
-    vals, idx = jax.lax.approx_max_k(key, K, recall_target=0.99)
+    vals, idx = jax.lax.top_k(key, K)
     valid = jnp.isfinite(vals)
     cand_slot = jnp.where(valid, slots_c[idx], P - 1).astype(jnp.int32)
 
@@ -160,6 +167,7 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
     voxel = cfg.voxel_size
     dxd, dyd, dzd = cfg.local_dims
     dt = 2.5 * voxel
+    mu_step = cfg.mu
     t_max_hard = cfg.max_depth * 1.05
 
     def kernel(
@@ -178,8 +186,12 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
         col_s,  # (K*4, 128) int32 scratch
         tin_s,  # (K, TILE_H, TILE_W) f32
         tout_s,  # (K, TILE_H, TILE_W) f32
-        ts_s,  # (n_steps, TILE_H, TILE_W) f32
-        sdf_s,  # (n_steps, TILE_H, TILE_W) f32
+        t_s,  # (TILE_H, TILE_W) f32 — current sample position
+        psdf_s,  # (TILE_H, TILE_W) f32 — previous sample's SDF
+        pt_s,  # (TILE_H, TILE_W) f32 — previous sample position
+        bh_s,  # (TILE_H, TILE_W) f32 — best (first) interpolated hit
+        bc_s,  # (TILE_H, TILE_W) f32 — its crossing sample position
+        done_s,  # (1, 1) int32 SMEM — all rays settled flag
         sem,  # DMA sems (2 * K,)
     ):
         ty = pl.program_id(0)
@@ -260,28 +272,6 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
             unroll=False,
         )
 
-        # ---- phase A: sample placement (skip uncovered gaps) --------------
-        t_cap = t_max_hard + 2.0 * dt
-        t_cur = jnp.minimum(t0, t_cap)
-        ts_s[0] = t_cur
-
-        def place(s, t_cur):
-            tn = t_cur + dt
-            tin = tin_s[:]
-            tout = tout_s[:]
-            covered = jnp.any(
-                (tin <= tn[None]) & (tn[None] <= tout), axis=0
-            )
-            entry = jnp.min(
-                jnp.where(tin > tn[None], tin, _BIG), axis=0
-            )
-            t_nxt = jnp.where(covered, tn, entry - 0.25 * dt)
-            t_nxt = jnp.minimum(t_nxt, t_cap)
-            ts_s[s] = t_nxt
-            return t_nxt
-
-        jax.lax.fori_loop(1, n_steps, place, t_cur, unroll=False)
-
         # ---- wait for DMAs, build sample tables ---------------------------
         def wait_dma(k, _):
             pltpu.make_async_copy(
@@ -346,30 +336,80 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
             inany = jnp.sum(oh, axis=2)
             return val, inany
 
-        # ---- phase B: SDF at every sample ---------------------------------
-        def sample_step(s, _):
-            val, inany = sample_table(ts_s[s], sdf_tab)
-            sdf_s[s] = val + (1.0 - inany)  # outside candidates: +1.0
+        # ---- fused march: placement + sampling + crossing in ONE pass,
+        # with per-tile early termination — once every ray has either
+        # crossed the surface or left candidate coverage (t at the cap),
+        # the remaining steps skip ALL work (the dominant cost: per-step
+        # interval scans + the one-hot MXU sample)
+        t_cap = t_max_hard + 2.0 * dt
+        t_s[:] = jnp.minimum(t0, t_cap)
+        psdf_s[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+        pt_s[:] = jnp.minimum(t0, t_cap) - dt
+        bh_s[:] = jnp.full((TILE_H, TILE_W), _BIG, jnp.float32)
+        bc_s[:] = jnp.full((TILE_H, TILE_W), _BIG, jnp.float32)
+        done_s[0, 0] = 0
+
+        def march(s, _):
+            @pl.when(done_s[0, 0] == 0)
+            def _step():
+                t_cur = t_s[:]
+                val, inany = sample_table(t_cur, sdf_tab)
+                sdf = val + (1.0 - inany)  # outside candidates: +1.0
+                prev_sdf = psdf_s[:]
+                # a leap leaves prev far behind: clamp the virtual
+                # previous sample
+                prev_t = jnp.maximum(pt_s[:], t_cur - 1.5 * dt)
+                # first crossing wins: samples are placed monotonically,
+                # so only record while no hit is stored yet
+                crossing = (prev_sdf > 0.0) & (sdf <= 0.0) \
+                    & (t_cur < t_max_hard) & (t_cur > 0.0) \
+                    & (bh_s[:] >= _BIG)
+                frac = prev_sdf / jnp.maximum(prev_sdf - sdf, 1e-6)
+                hit_t = prev_t + (t_cur - prev_t) * frac
+                bh_s[:] = jnp.where(crossing, hit_t, bh_s[:])
+                bc_s[:] = jnp.where(crossing, t_cur, bc_s[:])
+                psdf_s[:] = sdf
+                pt_s[:] = t_cur
+
+                # place the next sample: sphere-trace inside covered
+                # intervals (the TSDF bounds the surface distance, so a
+                # positive sample allows a step of sdf * mu — exactly
+                # the XLA fine phase's rule; shrinking steps cannot leap
+                # over a crossing), floored at dt for sampling density,
+                # and leap to the next interval entry over gaps. Without
+                # this, dense maps keep rays inside covered intervals at
+                # fixed dt and they run out of steps ~2.5 m in.
+                tn = t_cur + jnp.maximum(sdf * (0.9 * mu_step), dt)
+                tin = tin_s[:]
+                tout = tout_s[:]
+                covered = jnp.any(
+                    (tin <= tn[None]) & (tn[None] <= tout), axis=0
+                )
+                # uncovered: pull back to the FIRST interval entry after
+                # t_cur (not after tn — a step can overshoot a short
+                # grazing interval entirely, which silently skipped it),
+                # clamped forward so progress is strictly monotonic
+                entry = jnp.min(
+                    jnp.where(tin > t_cur[None] + 0.25 * dt, tin, _BIG),
+                    axis=0,
+                )
+                t_nxt = jnp.minimum(
+                    jnp.where(
+                        covered, tn,
+                        jnp.maximum(entry - 0.25 * dt, t_cur + 0.5 * dt),
+                    ),
+                    t_cap,
+                )
+                t_s[:] = t_nxt
+                settled = (bh_s[:] < _BIG) | (t_nxt >= t_cap - 1e-3)
+                done_s[0, 0] = jnp.all(settled).astype(jnp.int32)
+
             return 0
 
-        jax.lax.fori_loop(0, n_steps, sample_step, 0, unroll=False)
+        jax.lax.fori_loop(0, n_steps, march, 0, unroll=False)
 
-        # ---- phase C: crossing detection -----------------------------------
-        ts_all = ts_s[:]
-        sdf_all = sdf_s[:]
-        ones0 = jnp.ones((1, TILE_H, TILE_W), jnp.float32)
-        prev_sdf = jnp.concatenate([ones0, sdf_all[:-1]], axis=0)
-        prev_t = jnp.concatenate(
-            [ts_all[:1] - dt, ts_all[:-1]], axis=0
-        )
-        # a leap leaves prev far behind: clamp the virtual previous sample
-        prev_t = jnp.maximum(prev_t, ts_all - 1.5 * dt)
-        crossing = (prev_sdf > 0.0) & (sdf_all <= 0.0) \
-            & (ts_all < t_max_hard) & (ts_all > 0.0)
-        frac = prev_sdf / jnp.maximum(prev_sdf - sdf_all, 1e-6)
-        hit_ts = prev_t + (ts_all - prev_t) * frac
-        best_hit = jnp.min(jnp.where(crossing, hit_ts, _BIG), axis=0)
-        best_cross = jnp.min(jnp.where(crossing, ts_all, _BIG), axis=0)
+        best_hit = bh_s[:]
+        best_cross = bc_s[:]
         found = best_hit < t_max_hard
 
         # ---- post-pass: color + weight at the hit --------------------------
@@ -407,7 +447,10 @@ def raycast_tiled(
     P = cfg.pool_capacity
     K = cfg.raycast_cand_k
     ty_n, tx_n = _tile_counts(cfg)
-    n_steps = max(cfg.raycast_fine_steps, 8)
+    # sphere-trace steps + gap leaps need some headroom beyond the XLA
+    # fine count to reach far surfaces (grazing rays advance slowly);
+    # early termination makes unused steps nearly free
+    n_steps = max(cfg.raycast_fine_steps + 16, 8)
     h, w = cfg.height, cfg.width
 
     world_to_cam = jnp.linalg.inv(cam_to_world)
@@ -448,8 +491,12 @@ def raycast_tiled(
             pltpu.VMEM((K * 4, 128), jnp.int32),
             pltpu.VMEM((K, TILE_H, TILE_W), jnp.float32),
             pltpu.VMEM((K, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((n_steps, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((n_steps, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((2 * K,)),
         ],
     )

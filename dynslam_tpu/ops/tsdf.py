@@ -103,10 +103,10 @@ class TsdfConfig:
     raycast_fine_steps: int = 20
     #: chebyshev cap of the block distance field (skip up to df-0.5 blocks)
     df_cap: int = 8
-    #: candidate blocks per 32x128 image tile in the Pallas raycaster
+    #: candidate blocks per 8x128 image tile in the Pallas raycaster
     #: (ops/pallas_raycast.py); overflow drops the farthest blocks. Small
-    #: frames (tile ~ whole image) need more.
-    raycast_cand_k: int = 96
+    #: frames (tile ~ whole image) and short focal lengths need more.
+    raycast_cand_k: int = 64
     width: int = 1242
     height: int = 375
     fx: float = 707.0912
