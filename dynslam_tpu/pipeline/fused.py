@@ -52,6 +52,8 @@ class FusedCarry(NamedTuple):
     prev_rg: jnp.ndarray  # (H, W) f32 previous right gray
     frame_idx: jnp.ndarray  # i32 scalar
     dropped: jnp.ndarray  # i32 cumulative pool-full allocation drops
+    origin: jnp.ndarray  # (3,) i32 local-window origin the grid is built for
+    grid: jnp.ndarray  # (n_cells,) i32 persistent local index cache
 
 
 class FusedOutputs(NamedTuple):
@@ -153,8 +155,22 @@ def fused_step(
     c2w = c2w.at[:3, :3].set(R.T)
     c2w = c2w.at[:3, 3].set(-R.T @ t)
 
-    origin = tsdf.compute_origin(cfg, c2w)
-    grid = tsdf.build_local_grid(cfg, carry.state, origin)
+    # persistent local grid with origin hysteresis: keep the cached grid
+    # (and its origin) while the camera stays within 4 blocks of the
+    # anchor — allocate() keeps it incrementally fresh, so the O(P)
+    # rebuild scatter only runs when the window actually moves. Decay
+    # invalidates grid entries (freed slots), so any frame where decay
+    # is traced in rebuilds unconditionally.
+    origin_new = tsdf.compute_origin(cfg, c2w)
+    keep = jnp.all(jnp.abs(origin_new - carry.origin) <= 4) \
+        & (carry.frame_idx > 1) & jnp.bool_(not decay_enabled)
+    origin = jnp.where(keep, carry.origin, origin_new)
+    grid = jax.lax.cond(
+        keep,
+        lambda s: carry.grid,
+        lambda s: tsdf.build_local_grid(cfg, s, origin),
+        carry.state,
+    )
     state, grid, (n_new, n_drop) = tsdf.allocate(
         cfg, carry.state, grid, origin, depth_m, c2w, carry.frame_idx
     )
@@ -191,6 +207,8 @@ def fused_step(
         prev_rg=right_gray,
         frame_idx=next_idx,
         dropped=carry.dropped + n_drop,
+        origin=origin,
+        grid=grid,
     )
     sync = (
         rc.depth[::64, ::64].sum()
@@ -279,6 +297,7 @@ class FusedPipeline:
             rgb = jnp.asarray(rgb, jnp.uint8)
         if self.carry is None:
             prev_l, prev_r = _bootstrap_features(self.vo_params, lg, rg)
+            dx, dy, dz = self.cfg.local_dims
             self.carry = FusedCarry(
                 state=tsdf.create_state(self.cfg),
                 pose_w2c=jnp.eye(4, dtype=jnp.float32),
@@ -289,6 +308,9 @@ class FusedPipeline:
                 prev_rg=rg,
                 frame_idx=jnp.int32(1),
                 dropped=jnp.int32(0),
+                # far-away origin sentinel: frame 1 always rebuilds
+                origin=jnp.full((3,), 1 << 20, jnp.int32),
+                grid=jnp.full((dx * dy * dz,), -1, jnp.int32),
             )
             return
         self.carry, self.last_outputs = fused_step(
