@@ -286,8 +286,11 @@ class FusedPipeline:
         decay_on = self.decay_params.enabled and (
             self._frames >= int(self.decay_params.min_decay_age)
         )
-        lg = jnp.asarray(left_gray, jnp.float32)
-        rg = jnp.asarray(right_gray, jnp.float32)
+        # COPY the inputs (never view them): the gray images become
+        # carry.prev_lg/prev_rg, and the carry is donated — a view would
+        # silently invalidate the CALLER'S arrays one frame later
+        lg = jnp.array(left_gray, jnp.float32, copy=True)
+        rg = jnp.array(right_gray, jnp.float32, copy=True)
         if rgb is None:
             rgb = jnp.broadcast_to(
                 jnp.clip(lg, 0, 255).astype(jnp.uint8)[..., None],
