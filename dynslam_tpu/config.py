@@ -183,6 +183,11 @@ class StereoMatcherParams:
     #: uniqueness ratio: best cost must beat runner-up by this factor
     uniqueness: float = 0.95
     subpixel: bool = True
+    #: ELAS-role gap interpolation: horizontal invalid runs up to this
+    #: many px are filled with the background (smaller) flanking
+    #: disparity; 0 disables (libelas's support triangulation makes its
+    #: maps near-dense — the raw census matcher leaves holes)
+    fill_gaps: int = 0
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="bilateral-filter the input depth before fusion "
                         "(InfiniTAM's useBilateralFilter)")
     p.add_argument("--use_dispnet", action="store_true", default=False)
+    p.add_argument("--fill_disparity_gaps", type=int, default=0,
+                   help="live-stereo ELAS-role gap interpolation: fill "
+                        "horizontal invalid runs up to N px with the "
+                        "background flanking disparity (0 = off)")
     p.add_argument("--use_live_stereo", action="store_true", default=False,
                    help="census matcher depth instead of precomputed dumps")
     p.add_argument("--voxel_decay", action="store_true", default=True)
@@ -135,6 +139,9 @@ def main(argv=None) -> int:
     cfg = dataclasses.replace(
         cfg, map=dataclasses.replace(
             cfg.map, use_depth_weighting=args.use_depth_weighting
+        ),
+        stereo=dataclasses.replace(
+            cfg.stereo, fill_gaps=args.fill_disparity_gaps
         ),
     )
 

@@ -201,7 +201,58 @@ def compute_disparity_jit(
         stacked = jnp.stack(neigh)
         disp = jnp.sort(stacked, axis=0)[4]
 
+    if params.fill_gaps > 0:
+        disp = fill_disparity_gaps(disp, params.fill_gaps)
+
     return disp.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("max_gap",))
+def fill_disparity_gaps(disp: jnp.ndarray, max_gap: int) -> jnp.ndarray:
+    """ELAS-role gap interpolation: horizontal invalid runs up to
+    `max_gap` px are filled with the SMALLER (background) of the two
+    flanking valid disparities — the KITTI background-interpolation
+    convention that libelas's support-point triangulation approximates
+    (the reference's live path relies on ELAS producing near-dense
+    maps). Longer runs (sky, occlusion fans) stay invalid.
+
+    Gather-free: nearest-valid value/distance on each side via
+    log2(W) shift-doubling passes on the VPU."""
+    h, w = disp.shape
+    big = jnp.float32(1e9)
+    valid = disp > 0
+
+    def sh_from_left(x, k, pad):
+        return jnp.concatenate(
+            [jnp.full((h, k), pad, x.dtype), x[:, :-k]], axis=1
+        )
+
+    def sh_from_right(x, k, pad):
+        return jnp.concatenate(
+            [x[:, k:], jnp.full((h, k), pad, x.dtype)], axis=1
+        )
+
+    v0 = jnp.where(valid, disp, 0.0)
+    d0 = jnp.where(valid, 0.0, big)
+
+    def nearest(shift):
+        vals, dist = v0, d0
+        k = 1
+        while k < w:
+            sv = shift(vals, k, 0.0)
+            sd = shift(dist, k, big) + k
+            take = sd < dist
+            vals = jnp.where(take, sv, vals)
+            dist = jnp.where(take, sd, dist)
+            k *= 2
+        return vals, dist
+
+    lv, ldist = nearest(sh_from_left)
+    rv, rdist = nearest(sh_from_right)
+    fill = jnp.minimum(jnp.where(lv > 0, lv, big),
+                       jnp.where(rv > 0, rv, big))
+    run_ok = (ldist + rdist - 1 <= max_gap) & (lv > 0) & (rv > 0)
+    return jnp.where(~valid & run_ok, fill, disp)
 
 
 def compute_disparity(left, right, params: StereoMatcherParams | None = None):

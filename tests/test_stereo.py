@@ -73,3 +73,42 @@ class TestDisparity:
         right = np.full((64, 96), 120, np.uint8)
         disp = np.asarray(compute_disparity(left, right, StereoMatcherParams(max_disparity=32)))
         assert (disp == 0).mean() > 0.95
+
+
+class TestGapFill:
+    def test_fill_disparity_gaps(self):
+        import jax.numpy as jnp
+
+        from dynslam_tpu.ops.stereo import fill_disparity_gaps
+
+        d = np.zeros((4, 64), np.float32)
+        d[0, 10] = 20.0
+        d[0, 15] = 12.0   # 4-px gap between -> fill with min(20, 12) = 12
+        d[1, 10] = 8.0    # then invalid to the right edge (53 px) -> stays
+        d[2, :] = 0.0     # fully invalid row stays invalid
+        d[3, 20] = 5.0
+        d[3, 50] = 7.0    # 29-px gap > max_gap -> stays invalid
+        out = np.asarray(fill_disparity_gaps(jnp.asarray(d), 8))
+        assert (out[0, 11:15] == 12.0).all()
+        assert out[0, 10] == 20.0 and out[0, 15] == 12.0
+        assert (out[0, :10] == 0).all() and (out[0, 16:] == 0).all()
+        assert (out[1, 11:] == 0).all()
+        assert (out[2] == 0).all()
+        assert (out[3, 21:50] == 0).all()
+
+    def test_fill_improves_density_not_accuracy(self, stereo_pair):
+        """On the synthetic pair, gap-filling must raise coverage without
+        degrading median accuracy."""
+        import dataclasses
+
+        left = to_uint8_rgb(stereo_pair["left_gray"])
+        right = to_uint8_rgb(stereo_pair["right_gray"])
+        gt = stereo_pair["disparity"]
+        params = StereoMatcherParams(max_disparity=64)
+        d0 = np.asarray(compute_disparity(left, right, params))
+        pf = dataclasses.replace(params, fill_gaps=16)
+        d1 = np.asarray(compute_disparity(left, right, pf))
+        assert (d1 > 0).mean() > (d0 > 0).mean()
+        m = (d1 > 0) & (gt > 0)
+        err = np.abs(d1 - gt)[m]
+        assert np.median(err) < 1.0
