@@ -77,6 +77,22 @@ def _conv2d(img: jnp.ndarray, kernels: np.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("params",))
+def detect_features_pair(
+    left_gray: jnp.ndarray, right_gray: jnp.ndarray,
+    params: VisualOdometryParams,
+):
+    """Detect on both stereo images with BATCHED compute: one vmapped
+    trace merges the detection/Sobel convolutions and the bucketed
+    top-k selections of the two images into single batched XLA ops.
+    Returns (Features_left, Features_right)."""
+    both = jax.vmap(lambda g: detect_features.__wrapped__(g, params))(
+        jnp.stack([left_gray, right_gray])
+    )
+    pick = lambda i: jax.tree_util.tree_map(lambda x: x[i], both)
+    return pick(0), pick(1)
+
+
+@partial(jax.jit, static_argnames=("params",))
 def detect_features(gray: jnp.ndarray, params: VisualOdometryParams) -> Features:
     """Detect up to params.max_candidates features on a float32 gray image."""
     h, w = gray.shape

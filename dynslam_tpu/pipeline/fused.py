@@ -132,8 +132,9 @@ def fused_step(
     depth_m = depth_ops.depth_m_from_mm(depth_mm)
 
     # --- sparse scene flow + egomotion (libviso2 role) -------------------
-    cur_l = feat_ops.detect_features(left_gray, vo_params)
-    cur_r = feat_ops.detect_features(right_gray, vo_params)
+    cur_l, cur_r = feat_ops.detect_features_pair(
+        left_gray, right_gray, vo_params
+    )
     flow, valid = feat_ops.circular_match(
         cur_l, cur_r, carry.prev_l, carry.prev_r, vo_params
     )
@@ -232,8 +233,7 @@ def fused_step(
 @partial(jax.jit, static_argnames=("vo_params",))
 def _bootstrap_features(vo_params: VisualOdometryParams, left_gray, right_gray):
     return (
-        feat_ops.detect_features(left_gray, vo_params),
-        feat_ops.detect_features(right_gray, vo_params),
+        *feat_ops.detect_features_pair(left_gray, right_gray, vo_params),
     )
 
 

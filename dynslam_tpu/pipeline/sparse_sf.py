@@ -59,8 +59,7 @@ class SparseSFProvider:
         """Process the current stereo pair; requires uint8/float gray."""
         lg = jnp.asarray(left_gray, jnp.float32)
         rg = jnp.asarray(right_gray, jnp.float32)
-        cur_l = feat_ops.detect_features(lg, self.params)
-        cur_r = feat_ops.detect_features(rg, self.params)
+        cur_l, cur_r = feat_ops.detect_features_pair(lg, rg, self.params)
 
         if self._prev_feats is not None:
             prev_l, prev_r = self._prev_feats
