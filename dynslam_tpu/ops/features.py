@@ -219,45 +219,6 @@ def _pairwise_dist2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return a2 + b2.T - 2.0 * ab
 
 
-def _best_match(
-    fa: Features,
-    fb: Features,
-    mode: str,
-    params: VisualOdometryParams,
-) -> jnp.ndarray:
-    """For each feature in `fa`, index of its best match in `fb` under the
-    geometric constraint `mode`:
-      'stereo_l2r': b left of a on the same row (disparity > 0)
-      'stereo_r2l': b right of a on the same row
-      'flow': |a - b| within the temporal search radius
-    Returns (Ka,) int32; constraint-violating pairs get +inf cost so the
-    circular check rejects them downstream.
-    """
-    d2 = _pairwise_dist2(fa.desc, fb.desc)
-
-    du = fa.pos[:, 0:1] - fb.pos[None, :, 0]  # a.u - b.u, (Ka, Kb)
-    dv = fa.pos[:, 1:2] - fb.pos[None, :, 1]
-    if mode == "stereo_l2r":
-        ok = (jnp.abs(dv) <= params.epipolar_band_px) & (du > 0.1) & (
-            du <= params.max_disparity
-        )
-    elif mode == "stereo_r2l":
-        ok = (jnp.abs(dv) <= params.epipolar_band_px) & (du < -0.1) & (
-            du >= -params.max_disparity
-        )
-    elif mode == "flow":
-        ok = (du * du + dv * dv) <= params.flow_radius_px**2
-    else:
-        raise ValueError(mode)
-
-    ok &= fa.cls[:, None] == fb.cls[None, :]
-    ok &= fa.valid[:, None] & fb.valid[None, :]
-    cost = jnp.where(ok, d2, jnp.inf)
-    return jnp.argmin(cost, axis=1).astype(jnp.int32), jnp.isfinite(
-        jnp.min(cost, axis=1)
-    )
-
-
 @partial(jax.jit, static_argnames=("radius",))
 def refine_stereo_disparity(
     left_img: jnp.ndarray,
@@ -351,15 +312,6 @@ def _extract_windows(img: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray):
     )  # (K, W, W)
 
 
-def _window_grads(win: jnp.ndarray):
-    """Central-difference gradients inside the window. The wrapped edge
-    rows/cols are never read (samples' bilinear corners stay >= 1 and
-    <= 16), so jnp.roll artifacts are harmless."""
-    gx = 0.5 * (jnp.roll(win, -1, 2) - jnp.roll(win, 1, 2))
-    gy = 0.5 * (jnp.roll(win, -1, 1) - jnp.roll(win, 1, 1))
-    return gx, gy
-
-
 def _tent(pos: jnp.ndarray) -> jnp.ndarray:
     """(K, P) fractional positions -> (K, P, W) bilinear row/col weights
     (the tent function is exactly the 2-tap bilinear kernel)."""
@@ -431,15 +383,26 @@ def refine_flow_quad(
     off_dy = jnp.asarray([dy for dy, dx in offs], jnp.float32)
     off_dx = jnp.asarray([dx for dy, dx in offs], jnp.float32)
 
-    def windows_at(img, x0i, y0i):
-        """(K, 18, 18, 3) value/gx/gy windows anchored at
-        (x0i - A, y0i - A), plus the actual float anchors."""
-        ax = jnp.clip(x0i - A, 0, w - _LK_WIN)
-        ay = jnp.clip(y0i - A, 0, h - _LK_WIN)
-        win = _extract_windows(img, ax, ay)
-        gx, gy = _window_grads(win)
-        return (jnp.stack([win, gx, gy], axis=-1),
-                ax.astype(jnp.float32), ay.astype(jnp.float32))
+    # ---- batched window extraction: all four images in ONE vmapped
+    # trace (like detect_features_pair, merging the row-slab gathers and
+    # one-hot contractions into batched XLA ops)
+    vp0i = jnp.round(flow[:, 5]).astype(jnp.int32)
+    u2c0i = jnp.round(flow[:, 2]).astype(jnp.int32)
+    u1p0i = jnp.round(flow[:, 4]).astype(jnp.int32)
+    u2p0i = jnp.round(flow[:, 6]).astype(jnp.int32)
+    imgs4 = jnp.stack([cur_l, cur_r, prev_l, prev_r])
+    x0s = jnp.stack([ui, u2c0i, u1p0i, u2p0i])
+    y0s = jnp.stack([vi, vi, vp0i, vp0i])
+    ax4 = jnp.clip(x0s - A, 0, w - _LK_WIN)
+    ay4 = jnp.clip(y0s - A, 0, h - _LK_WIN)
+    win4 = jax.vmap(_extract_windows)(imgs4, ax4, ay4)  # (4, K, 18, 18)
+    gx4 = 0.5 * (jnp.roll(win4, -1, 3) - jnp.roll(win4, 1, 3))
+    gy4 = 0.5 * (jnp.roll(win4, -1, 2) - jnp.roll(win4, 1, 2))
+    wins4 = jnp.stack([win4, gx4, gy4], axis=-1)  # (4, K, 18, 18, 3)
+
+    def windows_of(i):
+        return (wins4[i], ax4[i].astype(jnp.float32),
+                ay4[i].astype(jnp.float32))
 
     def sample_patch_scaled(wins3, ax, ay, x, y, s):
         """Patch (values + analytic gradients) whose offsets are scaled
@@ -453,7 +416,7 @@ def refine_flow_quad(
 
     ui_f = ui.astype(jnp.float32)
     vi_f = vi.astype(jnp.float32)
-    ref_w, ref_ax, ref_ay = windows_at(cur_l, ui, vi)
+    ref_w, ref_ax, ref_ay = windows_of(0)
     ref, _, _ = sample_patch_scaled(
         ref_w, ref_ax, ref_ay, ui_f, vi_f, jnp.zeros_like(ui_f)
     )
@@ -490,20 +453,16 @@ def refine_flow_quad(
         y = jnp.clip(y, y0 - 1.5, y0 + 1.5)
         return x, y
 
-    vp0i = jnp.round(flow[:, 5]).astype(jnp.int32)
     vp0 = vp0i.astype(jnp.float32)
 
-    u2c0i = jnp.round(flow[:, 2]).astype(jnp.int32)
-    cr_w, cr_ax, cr_ay = windows_at(cur_r, u2c0i, vi)
+    cr_w, cr_ax, cr_ay = windows_of(1)
     u2c, _ = lk(cr_w, cr_ax, cr_ay, u2c0i.astype(jnp.float32), vi_f, False)
 
-    u1p0i = jnp.round(flow[:, 4]).astype(jnp.int32)
-    plw, pl_ax, pl_ay = windows_at(prev_l, u1p0i, vp0i)
+    plw, pl_ax, pl_ay = windows_of(2)
     u1p, v1p = lk(plw, pl_ax, pl_ay, u1p0i.astype(jnp.float32), vp0, True)
 
     # prev-right: x free, row fixed to the prev-left refined row (rectified)
-    u2p0i = jnp.round(flow[:, 6]).astype(jnp.int32)
-    prw, pr_ax, pr_ay = windows_at(prev_r, u2p0i, vp0i)
+    prw, pr_ax, pr_ay = windows_of(3)
 
     def lk_x_at_row(wins3, ax, ay, x0, row):
         def step(carry, _):
@@ -544,11 +503,47 @@ def circular_match(
     params: VisualOdometryParams,
 ):
     """4-image circular matching. Returns (flow (K, 8), valid (K,)) where
-    rows are RawFlow-ordered: u1c v1c u2c v2c u1p v1p u2p v2p."""
-    i_pl, ok1 = _best_match(cur_left, prev_left, "flow", params)
-    i_pr, ok2 = _best_match(prev_left, prev_right, "stereo_l2r", params)
-    i_cr, ok3 = _best_match(prev_right, cur_right, "flow", params)
-    i_cl, ok4 = _best_match(cur_right, cur_left, "stereo_r2l", params)
+    rows are RawFlow-ordered: u1c v1c u2c v2c u1p v1p u2p v2p.
+
+    All four directed matches run BATCHED: one (4, K, 32) x (4, 32, K)
+    MXU distance computation and one batched mask/argmin over the pair
+    axis, instead of four separate op sequences (same batching win as
+    detect_features_pair)."""
+    A = (cur_left, prev_left, prev_right, cur_right)
+    Bf = (prev_left, prev_right, cur_right, cur_left)
+    fa_desc = jnp.stack([f.desc for f in A])
+    fb_desc = jnp.stack([f.desc for f in Bf])
+    fa_pos = jnp.stack([f.pos for f in A])
+    fb_pos = jnp.stack([f.pos for f in Bf])
+    fa_cls = jnp.stack([f.cls for f in A])
+    fb_cls = jnp.stack([f.cls for f in Bf])
+    fa_val = jnp.stack([f.valid for f in A])
+    fb_val = jnp.stack([f.valid for f in Bf])
+
+    a2 = jnp.sum(fa_desc * fa_desc, axis=-1)[..., None]
+    b2 = jnp.sum(fb_desc * fb_desc, axis=-1)[:, None, :]
+    ab = jnp.einsum("pkd,pld->pkl", fa_desc, fb_desc,
+                    preferred_element_type=jnp.float32)
+    d2 = a2 + b2 - 2.0 * ab  # (4, K, K)
+
+    du = fa_pos[:, :, None, 0] - fb_pos[:, None, :, 0]
+    dv = fa_pos[:, :, None, 1] - fb_pos[:, None, :, 1]
+    band = params.epipolar_band_px
+    maxd = params.max_disparity
+    ok_flow = (du * du + dv * dv) <= params.flow_radius_px ** 2
+    ok_l2r = (jnp.abs(dv) <= band) & (du > 0.1) & (du <= maxd)
+    ok_r2l = (jnp.abs(dv) <= band) & (du < -0.1) & (du >= -maxd)
+    # modes per pair: flow, stereo_l2r, flow, stereo_r2l
+    code = jnp.asarray([0, 1, 0, 2])[:, None, None]
+    ok = jnp.where(code == 0, ok_flow,
+                   jnp.where(code == 1, ok_l2r, ok_r2l))
+    ok &= fa_cls[:, :, None] == fb_cls[:, None, :]
+    ok &= fa_val[:, :, None] & fb_val[:, None, :]
+    cost = jnp.where(ok, d2, jnp.inf)
+    best = jnp.argmin(cost, axis=2).astype(jnp.int32)  # (4, K)
+    okm = jnp.isfinite(jnp.min(cost, axis=2))
+    i_pl, i_pr, i_cr, i_cl = best[0], best[1], best[2], best[3]
+    ok1, ok2, ok3, ok4 = okm[0], okm[1], okm[2], okm[3]
 
     j = i_pl  # prev-left index per cur-left feature
     k = i_pr[j]

@@ -267,8 +267,8 @@ def allocate(
     ray_y = (vv - cfg.cy) / cfg.fy
     R, t = cam_to_world[:3, :3], cam_to_world[:3, 3]
 
-    wanted = jnp.zeros((n_cells + 1,), bool)
     n_samples = 4
+    lins = []
     for i in range(n_samples):
         z = depth_m + cfg.mu * (2.0 * i / (n_samples - 1) - 1.0)
         z = jnp.maximum(z, 0.05)
@@ -277,9 +277,11 @@ def allocate(
         blk = jnp.floor(pw / cfg.block_size).astype(jnp.int32)
         local = blk - origin[None, None, :]
         lin, in_win = _grid_linear(cfg, local)
-        lin = jnp.where(valid_px & in_win, lin, n_cells)
-        wanted = wanted.at[lin.reshape(-1)].set(True, mode="drop")
-    wanted = wanted[:n_cells]
+        lins.append(jnp.where(valid_px & in_win, lin, n_cells).reshape(-1))
+    # ONE scatter for all band samples (4 sequential scatters serialize)
+    wanted = jnp.zeros((n_cells + 1,), bool).at[
+        jnp.concatenate(lins)
+    ].set(True, mode="drop")[:n_cells]
 
     missing = wanted & (grid < 0)
     (cell_ids,) = jnp.nonzero(
