@@ -175,3 +175,27 @@ class TestEgomotion:
         prov.compute_sparse_sf(*g)
         delta = prov.get_latest_motion()
         np.testing.assert_allclose(delta, np.eye(4), atol=5e-3)
+
+
+def test_detect_pair_matches_single():
+    """The batched L/R detection must be numerically identical to two
+    single-image calls (it is the same trace, vmapped)."""
+    import jax.numpy as jnp
+
+    from dynslam_tpu.config import VisualOdometryParams
+    from dynslam_tpu.ops import features as feat_ops
+
+    rng = np.random.default_rng(9)
+    lg = jnp.asarray(rng.uniform(0, 255, (96, 160)), jnp.float32)
+    rg = jnp.asarray(rng.uniform(0, 255, (96, 160)), jnp.float32)
+    params = VisualOdometryParams(max_candidates=256)
+    pl_, pr_ = feat_ops.detect_features_pair(lg, rg, params)
+    sl = feat_ops.detect_features(lg, params)
+    sr = feat_ops.detect_features(rg, params)
+    for a, b in ((pl_, sl), (pr_, sr)):
+        np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
+        np.testing.assert_allclose(np.asarray(a.desc), np.asarray(b.desc),
+                                   rtol=0, atol=1e-4)
