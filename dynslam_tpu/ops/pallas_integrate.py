@@ -210,9 +210,15 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
             def sample(cols):
                 return jnp.sum(cols * onehot_v, axis=0)  # (4, 128)
 
+            if _FORCE_MODE == "fixedwin":  # profiling: hoistable slices
+                v0 = pl.multiple_of(v0 * 0, 8)
+                u0 = pl.multiple_of(u0 * 0, 128)
             win_hi = hi_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
-            win_lo = lo_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
-            d_mm = sample(colsel(win_hi) * 256.0 + colsel(win_lo))
+            if _FORCE_MODE == "onedepth":  # profiling: 1 slice + 1 dot
+                d_mm = sample(colsel(win_hi) * 257.0)
+            else:
+                win_lo = lo_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+                d_mm = sample(colsel(win_hi) * 256.0 + colsel(win_lo))
             ctx = _apply_update(bi, d, d_mm, in_win)
 
             # color changes only in a thin shell (|eta| < mu/4): most
