@@ -396,8 +396,11 @@ def refine_flow_quad(
     ax4 = jnp.clip(x0s - A, 0, w - _LK_WIN)
     ay4 = jnp.clip(y0s - A, 0, h - _LK_WIN)
     win4 = jax.vmap(_extract_windows)(imgs4, ax4, ay4)  # (4, K, 18, 18)
-    gx4 = 0.5 * (jnp.roll(win4, -1, 3) - jnp.roll(win4, 1, 3))
-    gy4 = 0.5 * (jnp.roll(win4, -1, 2) - jnp.roll(win4, 1, 2))
+    # central differences with ONE-SIDED edges (jnp.gradient semantics):
+    # jnp.roll would wrap around the window, and border features (whose
+    # anchor got clipped by ax4/ay4) do sample the edge rows/cols
+    gx4 = jnp.gradient(win4, axis=3)
+    gy4 = jnp.gradient(win4, axis=2)
     wins4 = jnp.stack([win4, gx4, gy4], axis=-1)  # (4, K, 18, 18, 3)
 
     def windows_of(i):

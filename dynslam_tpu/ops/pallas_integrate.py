@@ -480,6 +480,12 @@ def integrate_pallas(
     centers = (coords.astype(jnp.float32) + 0.5) * cfg.block_size
     z_center = centers @ world_to_cam[2, :3] + world_to_cam[2, 3]
     near = (z_center < _reach_m(cfg, WIN_H)) & slots_mask
+    # near-tier capacity is NEAR_FULL_CAP rows; overflow blocks (a frame
+    # with a huge close-range surface) fall back to the FAR tier instead
+    # of silently receiving no update — the 128x256 window still covers
+    # part of their footprint (in_win clamps), a strictly better
+    # degradation than exclusion (ADVICE r2)
+    near = near & (jnp.cumsum(near.astype(jnp.int32)) <= NEAR_FULL_CAP)
     far_mask = slots_mask & ~near
 
     # pre-split bf16 image planes, padded to sublane/lane-aligned dims

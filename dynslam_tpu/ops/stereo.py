@@ -168,7 +168,9 @@ def compute_disparity_jit(
         jnp.arange(0, D, CH),
     )
 
-    # sample best_d_r at x - round(disp): gather-free masked-roll
+    # sample best_d_r at x - best_d (the integer winner, NOT the subpixel
+    # round — they can differ by one column near discontinuities, which
+    # is within lr_max_diff tolerance anyway): gather-free masked-roll
     # accumulation over the same disparity chunks (best_d selects which
     # rolled copy each pixel reads)
     def warp_chunk(carry, d0):

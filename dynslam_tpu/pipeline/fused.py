@@ -260,6 +260,27 @@ class FusedPipeline:
         self.stereo_params = stereo_params
         self.vo_params = vo_params
         self.decay_params = decay_params
+        # Origin hysteresis lets the camera drift up to 4 blocks from the
+        # window anchor before the grid re-centers; the local window must
+        # cover the view frustum at max_depth with that slack to spare or
+        # leading-edge geometry would silently never be allocated
+        # (ADVICE r2). compute_origin places the camera at 0.15*extent
+        # from the rear face along the viewing direction.
+        ext = np.asarray(cfg.local_dims, np.float64) * cfg.block_size
+        slack = 4.0 * cfg.block_size
+        horiz = min(ext[0], ext[2])
+        fwd = 0.85 * horiz - slack
+        lat = 0.5 * horiz - slack
+        vert = 0.5 * ext[1] - slack
+        need_lat = cfg.max_depth * max(cfg.cx, cfg.width - cfg.cx) / cfg.fx
+        need_vert = cfg.max_depth * max(cfg.cy, cfg.height - cfg.cy) / cfg.fy
+        assert fwd >= cfg.max_depth and lat >= need_lat and vert >= need_vert, (
+            f"local_dims {cfg.local_dims} too small for max_depth "
+            f"{cfg.max_depth} m + 4-block origin-hysteresis slack: forward "
+            f"reach {fwd:.1f} m (need {cfg.max_depth:.1f}), lateral "
+            f"{lat:.1f} m (need {need_lat:.1f}), vertical {vert:.1f} m "
+            f"(need {need_vert:.1f})"
+        )
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
