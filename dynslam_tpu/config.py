@@ -200,6 +200,10 @@ class TrackerParams:
     inactive_frame_threshold: int = 50
     #: min masked scene-flow vectors to attempt motion estimation
     min_flow_vectors: int = 18
+    #: RANSAC iterations for per-OBJECT motion (the fused dynamic step
+    #: runs one estimator per mask slot every frame; object flow sets are
+    #: small, so fewer hypotheses than camera egomotion suffice)
+    object_ransac_iters: int = 200
     trans_error_threshold_low: float = 0.030
     trans_error_threshold_high: float = 0.550
     max_uncertain_frames_static: int = 5

@@ -56,6 +56,11 @@ class TrackFrame:
     relative_pose_tr: Optional[np.ndarray] = None
     #: egomotion @ relative_pose (world-frame error/eval form)
     relative_pose_world: Optional[np.ndarray] = None
+    #: (T 4x4, tr 6) when the motion RANSAC already ran ON DEVICE inside
+    #: the fused dynamic step (pipeline/fused_dynamic.py) — update() then
+    #: skips the host-side estimator. (None, None) = device ran and
+    #: failed; attribute left unset = estimate on host as usual.
+    precomputed_motion: object = None
 
 
 def _translation_norm(T: np.ndarray) -> float:
@@ -118,6 +123,8 @@ class Track:
 
     # -- motion estimation + state machine (Track.cpp:167-343) ------------
     def _estimate_instance_motion(self, sf_provider, initial_estimate):
+        if self.last_frame.precomputed_motion is not None:
+            return self.last_frame.precomputed_motion
         flow = self.last_frame.masked_flow
         if len(flow) < self.params.min_flow_vectors:
             return None, None

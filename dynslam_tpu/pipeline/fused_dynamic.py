@@ -1,0 +1,816 @@
+"""Single-dispatch fused frame step for the DYNAMIC-object pipeline.
+
+The reference's default mode is dynamic (DynSLAMGUI.cpp:26-31): per frame
+it segments, cuts moving objects out of the main view, estimates each
+object's motion from masked scene flow, and fuses objects into their own
+TSDF volumes (DynSlam.cpp:121-133, InstanceReconstructor.cpp:172-207).
+The staged path (pipeline/dynslam.py + instances/reconstructor.py) mirrors
+that loop exactly but pays one TPU-relay dispatch (~6 ms host time) per
+device stage — 15-20 per dynamic frame. This module folds the ENTIRE
+dynamic per-frame computation into ONE jitted executable:
+
+  stereo -> features/flow -> camera RANSAC -> PER-MASK object RANSAC
+  (vmapped over K mask slots) -> silhouette cut -> per-object TSDF
+  fusion (S pooled volumes, fused in-step) -> static allocate+fuse+
+  raycast+decay on the cut view
+
+Host<->device protocol (the reference's async structure, DynSlam.cpp:
+33-112, shifted one frame): the host tracker — association, the
+Uncertain/Static/Dynamic state machine, slot lifecycle — runs on a
+compacted per-frame output vector (`packed`, one ~35 ms relay fetch that
+doubles as the pipeline sync), so its decisions land one frame late:
+
+- association of frame k's detections happens BEFORE dispatch k (it only
+  needs host-side masks/bboxes, Track.cpp:17-71);
+- the silhouette action (keep/remove/cut) for frame k uses each track's
+  state as of frame k-1's update — one frame staler than the staged
+  path. Net effect: at an Uncertain->Dynamic transition the object's
+  first cut-out view appears one frame later; everything else matches.
+- the view cut at frame k is fused into its object volume during
+  dispatch k+1 (it stays on device in the carry's pending buffer), at
+  the chain pose the host computes from frame k's fetched object motion
+  — the same value the staged path uses, one dispatch later.
+
+Per-object motion estimation runs ON DEVICE: K vmapped RANSAC estimators
+(ops/egomotion.py — the same estimator the reference applies to objects,
+VisoSparseSFProvider.cpp:70-82) over per-mask flow subsets selected with
+a single bit-packed mask gather. The host receives only (twist, success,
+inlier/flow counts) per mask and runs Track.update() with the
+precomputed motion — bit-identical state-machine semantics (Track.cpp:
+246-342).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynslam_tpu.config import (
+    DynSlamConfig, StereoCalibration, StereoMatcherParams,
+    VisualOdometryParams, VoxelDecayParams,
+)
+from dynslam_tpu.instances.track import Track, TrackFrame, TrackState
+from dynslam_tpu.instances.tracker import InstanceTracker
+from dynslam_tpu.io.segmentation import InstanceDetection
+from dynslam_tpu.ops import depth as depth_ops
+from dynslam_tpu.ops import egomotion as ego_ops
+from dynslam_tpu.ops import features as feat_ops
+from dynslam_tpu.ops import stereo as stereo_ops
+from dynslam_tpu.ops import tsdf
+from dynslam_tpu.pipeline.fused import _refine_matches
+from dynslam_tpu.utils import se3
+
+#: silhouette actions (ProcessSilhouette branches,
+#: InstanceReconstructor.cpp:226-285)
+ACTION_KEEP = 0
+ACTION_REMOVE = 1
+ACTION_CUT = 2
+
+
+class FusedDynCarry(NamedTuple):
+    """Device-resident cross-frame state (static fields mirror
+    pipeline/fused.py's FusedCarry; instance fields replace the staged
+    InstanceVolumePool)."""
+
+    state: tsdf.TsdfState
+    pose_w2c: jnp.ndarray
+    held_motion: jnp.ndarray
+    prev_l: feat_ops.Features
+    prev_r: feat_ops.Features
+    prev_lg: jnp.ndarray
+    prev_rg: jnp.ndarray
+    frame_idx: jnp.ndarray
+    dropped: jnp.ndarray
+    origin: jnp.ndarray
+    grid: jnp.ndarray
+    #: stacked per-object volumes, leaf shapes (S, ...)
+    inst: tsdf.TsdfState
+    inst_fidx: jnp.ndarray  # (S,) i32 per-slot fusion clock (decay age)
+    #: views cut THIS frame, consumed (fused) by the NEXT dispatch
+    pending_depth: jnp.ndarray  # (K, H, W) f32
+    pending_rgb: jnp.ndarray  # (K, H, W, 3) uint8
+
+
+class FusedDynOutputs(NamedTuple):
+    raycast: tsdf.Raycast
+    depth_m: jnp.ndarray
+    pose_w2c: jnp.ndarray
+    #: the ONE host fetch per frame: every scalar the tracker needs,
+    #: flattened into a single f32 vector (fetching one array is one
+    #: relay round trip; fetching five would be five)
+    packed: jnp.ndarray
+
+
+def pack_layout(K: int):
+    """(name, offset, size) layout of the packed output vector."""
+    off = {}
+    cur = 0
+    for name, size in [
+        ("sync", 1), ("vo_success", 1), ("vo_inliers", 1),
+        ("delta", 16), ("pose", 16),
+        ("n_new", 1), ("n_freed", 1), ("dropped", 1),
+        ("obj_tr", 6 * K), ("obj_success", K), ("obj_inliers", K),
+        ("obj_count", K),
+    ]:
+        off[name] = (cur, size)
+        cur += size
+    return off, cur
+
+
+def _tree_select(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b
+    )
+
+
+def _fuse_one_instance(
+    icfg, use_pallas, fresh, st, fidx, d, rgb, w2c, act, reset, reap_w,
+    inst_decay, max_decay_weight, min_decay_age,
+):
+    """Reset/reap/fuse one pooled object volume (the per-slot body of the
+    staged InstanceVolumePool._fuse_batch, instances/volume_pool.py:36-58,
+    plus the reap path). Inactive slots come back bit-identical at
+    near-zero cost: zero depth allocates nothing and the count-gated
+    Pallas fusion skips every grid step."""
+    st = _tree_select(reset, fresh, st)
+    fidx = jnp.where(reset, 0, fidx)
+    # stale-track aggressive decay (Track::ReapReconstruction,
+    # Track.h:222-229): delete all voxels with weight <= reap_w
+    reaped, _ = tsdf.decay(
+        icfg, st, fidx, reap_w, jnp.int32(0), force_all=True
+    )
+    st = _tree_select(reap_w > 0, reaped, st)
+
+    d = jnp.where(act, d, 0.0)
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    c2w = jnp.eye(4, dtype=jnp.float32)
+    c2w = c2w.at[:3, :3].set(R.T)
+    c2w = c2w.at[:3, 3].set(-R.T @ t)
+    origin = tsdf.compute_origin(icfg, c2w)
+    grid = tsdf.build_local_grid(icfg, st, origin)
+    st2, grid, _ = tsdf.allocate(icfg, st, grid, origin, d, c2w, fidx)
+    slots, mask = tsdf.visible_blocks(icfg, st2, grid, origin, w2c)
+    if use_pallas:
+        from dynslam_tpu.ops.pallas_integrate import integrate_pallas
+
+        st2 = integrate_pallas(icfg, st2, slots, mask & act, rgb, d, w2c, fidx)
+    else:
+        st2 = tsdf.integrate(icfg, st2, slots, mask & act, rgb, d, w2c, fidx)
+    if inst_decay:
+        st2, _ = tsdf.decay(
+            icfg, st2, fidx + 1, max_decay_weight, min_decay_age
+        )
+    st = _tree_select(act, st2, st)
+    return st, fidx + act.astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "icfg", "stereo_params", "vo_params", "obj_params",
+        "use_pallas", "decay_enabled", "inst_decay",
+    ),
+    donate_argnames=("carry",),
+)
+def fused_dynamic_step(
+    cfg: tsdf.TsdfConfig,
+    icfg: tsdf.TsdfConfig,
+    stereo_params: StereoMatcherParams,
+    vo_params: VisualOdometryParams,
+    obj_params: VisualOdometryParams,
+    use_pallas: bool,
+    decay_enabled: bool,
+    inst_decay: bool,
+    carry: FusedDynCarry,
+    left_gray: jnp.ndarray,  # (H, W) f32
+    right_gray: jnp.ndarray,  # (H, W) f32
+    rgb: jnp.ndarray,  # (H, W, 3) uint8
+    delete_bits: jnp.ndarray,  # (H, W) uint8, bit j = delete mask of slot j
+    copy_bits: jnp.ndarray,  # (H, W) uint8, bit j = copy mask of slot j
+    copy_bbox: jnp.ndarray,  # (K, 4) f32 x0,y0,x1,y1 (inclusive)
+    mask_gate: jnp.ndarray,  # (K,) bool — estimate motion for this slot
+    warm_tr: jnp.ndarray,  # (K, 6) f32 warm-start twists
+    action: jnp.ndarray,  # (K,) i32 silhouette action codes
+    slot_src: jnp.ndarray,  # (S,) i32 pending index fused into slot, -1=none
+    fuse_pose: jnp.ndarray,  # (S, 4, 4) f32 w2c chain pose per slot
+    slot_reset: jnp.ndarray,  # (S,) bool fresh-acquire reset
+    slot_reap_w: jnp.ndarray,  # (S,) f32 reap weight, 0 = no reap
+    calib_vec: jnp.ndarray,
+    intr_vec: jnp.ndarray,
+    bf: jnp.ndarray,
+    max_decay_weight: jnp.ndarray,
+    min_decay_age: jnp.ndarray,
+    base_key: jnp.ndarray,
+):
+    """One full dynamic frame: returns (carry', FusedDynOutputs)."""
+    K = copy_bbox.shape[0]
+    S = slot_src.shape[0]
+    h, w = left_gray.shape
+
+    # --- stereo depth -----------------------------------------------------
+    disp = stereo_ops.compute_disparity_jit(left_gray, right_gray,
+                                            stereo_params)
+    depth_mm = depth_ops.depth_mm_from_disparity(
+        disp, bf, cfg.min_depth, cfg.max_depth
+    )
+    depth_m = depth_ops.depth_m_from_mm(depth_mm)
+
+    # --- sparse scene flow + camera egomotion -----------------------------
+    cur_l, cur_r = feat_ops.detect_features_pair(
+        left_gray, right_gray, vo_params
+    )
+    flow, valid = feat_ops.circular_match(
+        cur_l, cur_r, carry.prev_l, carry.prev_r, vo_params
+    )
+    flow, valid = _refine_matches(
+        left_gray, right_gray, carry.prev_lg, carry.prev_rg,
+        flow, valid, vo_params,
+    )
+    key = jax.random.fold_in(base_key, carry.frame_idx)
+    est = ego_ops.estimate_motion(
+        flow, valid, calib_vec, key, jnp.zeros(6, jnp.float32), vo_params
+    )
+    held = jnp.where(est.success, est.matrix, carry.held_motion)
+    pose_w2c = held @ carry.pose_w2c
+
+    # --- per-mask object motion (ExtractSceneFlow + ExtractMotion roles,
+    # InstanceReconstructor.cpp:802-849 + VisoSparseSFProvider.cpp:70-82)
+    ui = jnp.clip(jnp.round(flow[:, 0]), 0, w - 1).astype(jnp.int32)
+    vi = jnp.clip(jnp.round(flow[:, 1]), 0, h - 1).astype(jnp.int32)
+    # ONE computed gather for all K masks (bit-packed); ~N elements
+    bits_at = delete_bits[vi, ui].astype(jnp.int32)  # (N,)
+    up, vp = flow[:, 4], flow[:, 5]
+
+    def per_mask(j, k_j):
+        sel = ((bits_at >> j) & 1) == 1
+        bb = copy_bbox[j]
+        sel = sel & (up >= bb[0]) & (up <= bb[2]) \
+            & (vp >= bb[1]) & (vp <= bb[3])
+        valid_j = valid & sel & mask_gate[j]
+        count_j = jnp.sum(valid_j)
+        est_j = ego_ops.estimate_motion(
+            flow, valid_j, calib_vec, k_j, warm_tr[j], obj_params
+        )
+        return est_j.tr, est_j.success, est_j.num_inliers, count_j
+
+    obj_keys = jax.random.split(
+        jax.random.fold_in(base_key, carry.frame_idx + (1 << 20)), K
+    )
+    obj_tr, obj_success, obj_inliers, obj_count = jax.vmap(per_mask)(
+        jnp.arange(K), obj_keys
+    )
+
+    # --- silhouette processing (cut/remove on the device view) ------------
+    jidx = jnp.arange(K, dtype=jnp.int32)
+    rem_byte = jnp.sum(
+        jnp.where(action >= ACTION_REMOVE, 1 << jidx, 0)
+    ).astype(jnp.uint8)
+    cut_byte = jnp.sum(
+        jnp.where(action == ACTION_CUT, 1 << jidx, 0)
+    ).astype(jnp.uint8)
+    remove_mask = (delete_bits & rem_byte) != 0
+    depth_cut = jnp.where(remove_mask, 0.0, depth_m)
+    rgb_cut = jnp.where(remove_mask[..., None], jnp.uint8(0), rgb)
+    # per-slot cut-out views. NOTE: all copies read the PRISTINE frame
+    # (the staged path cuts sequentially, so a later track's copy mask
+    # reads a view earlier tracks already deleted from; overlapping car
+    # masks are the only case where that differs)
+    copy_sel = (
+        ((copy_bits[None] >> jidx[:, None, None]) & 1) == 1
+    ) & (action == ACTION_CUT)[:, None, None]  # (K, H, W)
+    new_pending_depth = jnp.where(copy_sel, depth_m[None], 0.0)
+    new_pending_rgb = jnp.where(
+        copy_sel[..., None], rgb[None], jnp.uint8(0)
+    )
+
+    # --- fuse LAST frame's pending views into the pooled volumes ---------
+    fresh = tsdf.create_state(icfg)
+    src_c = jnp.clip(slot_src, 0, K - 1)
+    new_rows = []
+    new_fidx = []
+    for s in range(S):
+        st, fidx = _fuse_one_instance(
+            icfg, use_pallas, fresh,
+            jax.tree_util.tree_map(lambda x: x[s], carry.inst),
+            carry.inst_fidx[s],
+            carry.pending_depth[src_c[s]],
+            carry.pending_rgb[src_c[s]],
+            fuse_pose[s],
+            slot_src[s] >= 0,
+            slot_reset[s],
+            slot_reap_w[s],
+            inst_decay, max_decay_weight, min_decay_age,
+        )
+        new_rows.append(st)
+        new_fidx.append(fidx)
+    inst = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *new_rows)
+    inst_fidx = jnp.stack(new_fidx)
+
+    # --- static mapping on the CUT view (allocate+fuse+raycast+decay) -----
+    R = pose_w2c[:3, :3]
+    t = pose_w2c[:3, 3]
+    c2w = jnp.eye(4, dtype=jnp.float32)
+    c2w = c2w.at[:3, :3].set(R.T)
+    c2w = c2w.at[:3, 3].set(-R.T @ t)
+
+    origin_new = tsdf.compute_origin(cfg, c2w)
+    keep = jnp.all(jnp.abs(origin_new - carry.origin) <= 4) \
+        & (carry.frame_idx > 1) & jnp.bool_(not decay_enabled)
+    origin = jnp.where(keep, carry.origin, origin_new)
+    grid = jax.lax.cond(
+        keep,
+        lambda s: carry.grid,
+        lambda s: tsdf.build_local_grid(cfg, s, origin),
+        carry.state,
+    )
+    state, grid, (n_new, n_drop) = tsdf.allocate(
+        cfg, carry.state, grid, origin, depth_cut, c2w, carry.frame_idx
+    )
+    slots, mask = tsdf.visible_blocks(cfg, state, grid, origin, pose_w2c)
+    if use_pallas:
+        from dynslam_tpu.ops.pallas_integrate import integrate_pallas
+        from dynslam_tpu.ops.pallas_raycast import raycast_tiled
+
+        state = integrate_pallas(
+            cfg, state, slots, mask, rgb_cut, depth_cut, pose_w2c,
+            carry.frame_idx,
+        )
+        rc = raycast_tiled(cfg, state, slots, mask, origin, c2w, intr_vec)
+    else:
+        state = tsdf.integrate(
+            cfg, state, slots, mask, rgb_cut, depth_cut, pose_w2c,
+            carry.frame_idx,
+        )
+        rc = tsdf.raycast(cfg, state, grid, origin, c2w, intr_vec)
+
+    next_idx = carry.frame_idx + 1
+    if decay_enabled:
+        state, n_freed = tsdf.decay(
+            cfg, state, next_idx, max_decay_weight, min_decay_age
+        )
+    else:
+        n_freed = jnp.int32(0)
+
+    carry2 = FusedDynCarry(
+        state=state,
+        pose_w2c=pose_w2c,
+        held_motion=held,
+        prev_l=cur_l,
+        prev_r=cur_r,
+        prev_lg=left_gray,
+        prev_rg=right_gray,
+        frame_idx=next_idx,
+        dropped=carry.dropped + n_drop,
+        origin=origin,
+        grid=grid,
+        inst=inst,
+        inst_fidx=inst_fidx,
+        pending_depth=new_pending_depth,
+        pending_rgb=new_pending_rgb,
+    )
+    sync = (
+        rc.depth[::64, ::64].sum()
+        + n_freed.astype(jnp.float32)
+        + est.num_inliers.astype(jnp.float32)
+        + pose_w2c[2, 3]
+        + jnp.sum(obj_tr)
+        + jnp.sum(inst_fidx).astype(jnp.float32)
+        + new_pending_depth[:, ::64, ::64].sum()
+    )
+    packed = jnp.concatenate([
+        sync[None],
+        est.success.astype(jnp.float32)[None],
+        est.num_inliers.astype(jnp.float32)[None],
+        held.reshape(-1),
+        pose_w2c.reshape(-1),
+        n_new.astype(jnp.float32)[None],
+        n_freed.astype(jnp.float32)[None],
+        (carry.dropped + n_drop).astype(jnp.float32)[None],
+        obj_tr.reshape(-1),
+        obj_success.astype(jnp.float32),
+        obj_inliers.astype(jnp.float32),
+        obj_count.astype(jnp.float32),
+    ])
+    outs = FusedDynOutputs(
+        raycast=rc, depth_m=depth_m, pose_w2c=pose_w2c, packed=packed
+    )
+    return carry2, outs
+
+
+class _SlotHandle:
+    """Track.reconstruction adapter over one pooled slot of the fused
+    dynamic carry (the role PooledVolume plays for the staged path).
+    Mutations (reset/reap) are SCHEDULED into the next dispatch's routing
+    instead of executing immediately."""
+
+    def __init__(self, pipeline: "FusedDynamicPipeline", slot: int):
+        self.pipeline = pipeline
+        self.slot = slot
+        self.fused_frames = 0
+
+    @property
+    def cfg(self):
+        return self.pipeline.icfg
+
+    @property
+    def state(self):
+        return jax.tree_util.tree_map(
+            lambda x: x[self.slot], self.pipeline.carry.inst
+        )
+
+    def reset(self) -> None:
+        self.pipeline._route_reset[self.slot] = True
+        self.fused_frames = 0
+
+    def reap(self, max_weight: float) -> None:
+        self.pipeline._route_reap[self.slot] = float(max_weight)
+
+    def release(self) -> None:
+        self.pipeline._free_slots.append(self.slot)
+
+    def get_raycast(self, cam_to_world) -> tsdf.Raycast:
+        return self.pipeline.raycast_instance(self.slot, cam_to_world)
+
+    def get_used_block_count(self) -> int:
+        return int(tsdf.memory_stats(self.pipeline.icfg, self.state)[0])
+
+
+class FusedDynamicPipeline:
+    """Host wrapper: one device dispatch per frame + the exact reference
+    tracker running one frame behind on the packed output fetch."""
+
+    def __init__(
+        self,
+        config: DynSlamConfig,
+        calib: StereoCalibration,
+        use_pallas: Optional[bool] = None,
+        seed: int = 0,
+    ):
+        from dynslam_tpu.pipeline.mapping import engine_config_from
+
+        self.config = config
+        self.cfg = engine_config_from(config)
+        imp = config.instance_map
+        self.icfg = tsdf.TsdfConfig(
+            pool_capacity=imp.blocks_per_object,
+            local_dims=imp.local_dims,
+            max_new_blocks=imp.max_new_blocks_per_frame,
+            max_visible_blocks=min(imp.blocks_per_object,
+                                   imp.max_new_blocks_per_frame * 2),
+            voxel_size=imp.voxel_size_m,
+            mu=imp.mu_m,
+            max_weight=float(imp.max_weight),
+            min_depth=config.min_depth_m,
+            max_depth=config.max_depth_m,
+            use_depth_weighting=config.map.use_depth_weighting,
+            raycast_coarse_steps=imp.raycast_coarse_steps,
+            raycast_fine_steps=imp.raycast_fine_steps,
+            width=config.frame_width,
+            height=config.frame_height,
+            fx=config.intrinsics.fx,
+            fy=config.intrinsics.fy,
+            cx=config.intrinsics.cx,
+            cy=config.intrinsics.cy,
+        )
+        self.stereo_params = config.stereo
+        self.vo_params = config.vo
+        self.obj_params = dataclasses.replace(
+            config.vo, ransac_iters=config.tracker.object_ransac_iters
+        )
+        self.decay_params = config.decay
+        self.K = min(imp.max_objects, 8)
+        self.S = imp.max_objects
+        self._layout, self._packed_len = pack_layout(self.K)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
+        self.calib_vec = jnp.asarray(
+            [self.cfg.fx, self.cfg.cx, self.cfg.cy, calib.baseline_m],
+            jnp.float32,
+        )
+        self.intr_vec = jnp.asarray(
+            [self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy], jnp.float32
+        )
+        self.bf = jnp.float32(calib.bf)
+        self.base_key = jax.random.PRNGKey(seed)
+
+        self.tracker = InstanceTracker(config.tracker)
+        self._free_slots: List[int] = list(range(self.S))
+        self.carry: Optional[FusedDynCarry] = None
+        self.last_outputs: Optional[FusedDynOutputs] = None
+        self.current_frame_no = 0
+        self.pose_history: List[np.ndarray] = [np.eye(4, dtype=np.float32)]
+        #: dispatch metadata for the deferred tracker pass:
+        #: (frame_no, [(mask_slot_j, track), ...], {track_id: pending_j})
+        self._dispatch_meta = None
+        self._reset_routing()
+        self._dropped_detections = 0
+
+    # ------------------------------------------------------------------
+    def _reset_routing(self) -> None:
+        S = self.S
+        self._route_src = np.full(S, -1, np.int32)
+        self._route_pose = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+        self._route_reset = np.zeros(S, bool)
+        self._route_reap = np.zeros(S, np.float32)
+
+    def _fresh_carry(self, lg, rg) -> FusedDynCarry:
+        prev_l, prev_r = feat_ops.detect_features_pair(
+            lg, rg, self.vo_params
+        )
+        dx, dy, dz = self.cfg.local_dims
+        h, w = self.cfg.height, self.cfg.width
+        one = tsdf.create_state(self.icfg)
+        inst = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(
+                x[None], (self.S,) + x.shape
+            ).copy(),
+            one,
+        )
+        return FusedDynCarry(
+            state=tsdf.create_state(self.cfg),
+            pose_w2c=jnp.eye(4, dtype=jnp.float32),
+            held_motion=jnp.eye(4, dtype=jnp.float32),
+            prev_l=prev_l,
+            prev_r=prev_r,
+            prev_lg=lg,
+            prev_rg=rg,
+            frame_idx=jnp.int32(1),
+            dropped=jnp.int32(0),
+            origin=jnp.full((3,), 1 << 20, jnp.int32),
+            grid=jnp.full((dx * dy * dz,), -1, jnp.int32),
+            inst=inst,
+            inst_fidx=jnp.zeros(self.S, jnp.int32),
+            pending_depth=jnp.zeros((self.K, h, w), jnp.float32),
+            pending_rgb=jnp.zeros((self.K, h, w, 3), jnp.uint8),
+        )
+
+    # ------------------------------------------------------------------
+    def process_frame(
+        self,
+        left_gray,
+        right_gray,
+        rgb=None,
+        detections: Optional[List[InstanceDetection]] = None,
+    ) -> None:
+        """One frame. `detections` = this frame's instance segmentation
+        (host data; the reference reads MNC dumps, DynSlam.cpp:121-133)."""
+        detections = detections or []
+        lg = jnp.array(left_gray, jnp.float32, copy=True)
+        rg = jnp.array(right_gray, jnp.float32, copy=True)
+        if rgb is None:
+            rgb = jnp.broadcast_to(
+                jnp.clip(lg, 0, 255).astype(jnp.uint8)[..., None],
+                (*lg.shape, 3),
+            )
+        else:
+            rgb = jnp.asarray(rgb, jnp.uint8)
+
+        if self.carry is None:
+            # frame 0: features only — no flow yet, so the staged path
+            # skips instance processing too (dynslam.py:154-160). Frame
+            # 0's pose is identity (staged convention: pose_history[k+1]
+            # = frame k's pose, index 0 = identity prior, DynSlam.h:213)
+            self.carry = self._fresh_carry(lg, rg)
+            self.pose_history.append(np.eye(4, dtype=np.float32))
+            self.current_frame_no = 1
+            return
+
+        # 1. deferred tracker pass on the previous frame's outputs
+        self._finish_prev()
+
+        frame_no = self.current_frame_no
+        h, w = self.cfg.height, self.cfg.width
+
+        # 2. associate this frame's detections (bbox/class only,
+        # Track.cpp:17-71 needs no flow)
+        cands = [d for d in detections if d.is_possibly_dynamic()]
+        if len(cands) > self.K:
+            cands.sort(key=lambda d: d.copy_mask.bbox.area, reverse=True)
+            self._dropped_detections += len(cands) - self.K
+            cands = cands[: self.K]
+        new_frames = [
+            TrackFrame(
+                frame_idx=frame_no,
+                detection=det,
+                masked_flow=np.zeros((0, 8), np.float32),
+                camera_pose=self.pose_history[-1],
+            )
+            for det in cands
+        ]
+        self.tracker.process_instance_views(frame_no, new_frames)
+
+        # 3. per-slot actions from the CURRENT (frame k-1-updated) states
+        assoc = []
+        pending_j: Dict[int, int] = {}
+        delete_bits = np.zeros((h, w), np.uint8)
+        copy_bits = np.zeros((h, w), np.uint8)
+        copy_bbox = np.zeros((self.K, 4), np.float32)
+        mask_gate = np.zeros(self.K, bool)
+        warm_tr = np.zeros((self.K, 6), np.float32)
+        action = np.zeros(self.K, np.int32)
+        always = self.config.always_reconstruct_objects
+        for j, tf in enumerate(new_frames):
+            track = self._track_of_frame(tf)
+            det = tf.detection
+            assoc.append((j, track))
+            bb = det.copy_mask.bbox
+            copy_bbox[j] = (bb.x0, bb.y0, bb.x1, bb.y1)
+            mask_gate[j] = True
+            if len(track.frames) >= 2 \
+                    and track.frames[-2].relative_pose_tr is not None:
+                warm_tr[j] = track.frames[-2].relative_pose_tr
+            delete_bits |= (
+                det.delete_mask.to_full_frame(h, w).astype(np.uint8) << j
+            )
+            if track.state == TrackState.UNCERTAIN:
+                act = ACTION_REMOVE if det.is_possibly_dynamic() \
+                    else ACTION_KEEP
+            elif track.state == TrackState.DYNAMIC or always:
+                if det.is_reconstructable():
+                    act = ACTION_CUT
+                elif det.is_possibly_dynamic():
+                    act = ACTION_REMOVE
+                else:
+                    act = ACTION_KEEP
+            else:  # STATIC without always_separate: stays in the main view
+                act = ACTION_KEEP
+            action[j] = act
+            if act == ACTION_CUT:
+                copy_bits |= (
+                    det.copy_mask.to_full_frame(h, w).astype(np.uint8) << j
+                )
+                pending_j[track.id] = j
+
+        # 4. dispatch (routing computed by _finish_prev)
+        self.carry, self.last_outputs = fused_dynamic_step(
+            self.cfg, self.icfg, self.stereo_params, self.vo_params,
+            self.obj_params, self.use_pallas,
+            self.decay_params.enabled
+            and frame_no >= int(self.decay_params.min_decay_age),
+            self.decay_params.enabled,
+            self.carry, lg, rg, rgb,
+            jnp.asarray(delete_bits), jnp.asarray(copy_bits),
+            jnp.asarray(copy_bbox), jnp.asarray(mask_gate),
+            jnp.asarray(warm_tr), jnp.asarray(action),
+            jnp.asarray(self._route_src),
+            jnp.asarray(self._route_pose),
+            jnp.asarray(self._route_reset),
+            jnp.asarray(self._route_reap),
+            self.calib_vec, self.intr_vec, self.bf,
+            jnp.float32(self.decay_params.max_decay_weight),
+            jnp.int32(self.decay_params.min_decay_age),
+            self.base_key,
+        )
+        self._dispatch_meta = (frame_no, assoc, pending_j)
+        self._reset_routing()
+        self.current_frame_no += 1
+
+    def _track_of_frame(self, tf: TrackFrame) -> Track:
+        for track in self.tracker.active_tracks.values():
+            if track.frames and track.frames[-1] is tf:
+                return track
+        raise AssertionError("frame not associated")
+
+    # ------------------------------------------------------------------
+    def _finish_prev(self) -> None:
+        """Fetch the previous dispatch's packed outputs (the pipeline
+        sync) and run the reference tracker logic for that frame:
+        Track.update with the device-estimated motions, then the
+        ProcessReconstructions bookkeeping that routes pending-view
+        fusion into the NEXT dispatch."""
+        if self.last_outputs is None or self._dispatch_meta is None:
+            return
+        packed = np.asarray(self.last_outputs.packed)
+        frame_no, assoc, pending_j = self._dispatch_meta
+        self._dispatch_meta = None
+        L = self._layout
+
+        def get(name):
+            o, n = L[name]
+            return packed[o: o + n]
+
+        delta = get("delta").reshape(4, 4)
+        egomotion = np.linalg.inv(delta).astype(np.float32)
+        pose = get("pose").reshape(4, 4).astype(np.float32)
+        self.pose_history.append(pose)
+        self.last_egomotion = egomotion
+        self.last_vo_success = bool(get("vo_success")[0] > 0.5)
+        self.last_vo_inliers = int(get("vo_inliers")[0])
+        obj_tr = get("obj_tr").reshape(self.K, 6)
+        obj_success = get("obj_success") > 0.5
+        obj_count = get("obj_count").astype(int)
+
+        min_flow = self.config.tracker.min_flow_vectors
+        for j, track in assoc:
+            # association ran pre-dispatch when this frame's pose was not
+            # yet known; patch it in now (the staged path sets it from
+            # get_current_pose() after VO, reconstructor.py:113-122)
+            track.last_frame.camera_pose = pose
+            if obj_success[j] and obj_count[j] >= min_flow:
+                T = se3.np_twist_to_transform(obj_tr[j])
+                track.last_frame.precomputed_motion = (T, obj_tr[j].copy())
+            else:
+                track.last_frame.precomputed_motion = (None, None)
+            track.update(egomotion, None)
+
+        # ProcessReconstructions (InstanceReconstructor.cpp:315-361), with
+        # fusion routed into the next dispatch instead of staged engines
+        for track in list(self.tracker.active_tracks.values()):
+            if not track.frames or not \
+                    track.last_frame.detection.is_reconstructable():
+                continue
+            if track.end_time != frame_no:
+                gap = frame_no - track.end_time
+                if track.needs_cleanup and track.has_reconstruction() \
+                        and gap >= 2:
+                    track.reap_reconstruction()
+                    track.needs_cleanup = False
+                continue
+            if not track.has_reconstruction():
+                eligible = track.eligible_for_reconstruction() and (
+                    track.state == TrackState.DYNAMIC
+                    or (track.state == TrackState.STATIC
+                        and self.config.always_reconstruct_objects)
+                )
+                if eligible and self._free_slots:
+                    slot = self._free_slots.pop()
+                    track.reconstruction = _SlotHandle(self, slot)
+                    self._route_reset[slot] = True
+            if track.has_reconstruction() and track.id in pending_j \
+                    and track.state != TrackState.UNCERTAIN:
+                chain = track.get_frame_pose(len(track.frames) - 1)
+                if chain is not None:
+                    slot = track.reconstruction.slot
+                    self._route_src[slot] = pending_j[track.id]
+                    self._route_pose[slot] = chain.astype(np.float32)
+                    track.reconstruction.fused_frames += 1
+                    track.count_fused_frame()
+                    track.needs_cleanup = True
+
+        self.tracker.prune_tracks(frame_no)
+        self.last_outputs = None
+
+    # ------------------------------------------------------------------
+    def finalize(self) -> None:
+        """Flush the deferred tracker pass (and the final pending fusion)
+        with one tail dispatch on a replay of the last frame's images."""
+        if self.carry is None or self._dispatch_meta is None:
+            return
+        self._finish_prev()
+        if not (self._route_src >= 0).any():
+            return
+        # one fusion-only dispatch: empty masks, no detections
+        lg = self.carry.prev_lg
+        rg = self.carry.prev_rg
+        self.process_frame(np.asarray(lg), np.asarray(rg), None, [])
+        self._finish_prev()
+
+    # -- accessors ------------------------------------------------------
+    def get_pose(self) -> np.ndarray:
+        return np.asarray(self.carry.pose_w2c)
+
+    def get_last_egomotion(self) -> np.ndarray:
+        return getattr(
+            self, "last_egomotion", np.eye(4, dtype=np.float32)
+        )
+
+    def get_used_block_count(self) -> int:
+        return int(tsdf.memory_stats(self.cfg, self.carry.state)[0])
+
+    def get_dropped_allocation_count(self) -> int:
+        return int(self.carry.dropped)
+
+    def reconstructed_objects(self) -> List[int]:
+        """Track ids with a live reconstruction volume."""
+        return [
+            t.id for t in self.tracker.active_tracks.values()
+            if t.has_reconstruction()
+        ]
+
+    def raycast_instance(self, slot: int, cam_to_world) -> tsdf.Raycast:
+        """Render one pooled object volume (preview path)."""
+        state = jax.tree_util.tree_map(lambda x: x[slot], self.carry.inst)
+        c2w = jnp.asarray(cam_to_world, jnp.float32)
+        origin = tsdf.compute_origin(self.icfg, c2w)
+        grid = tsdf.build_local_grid(self.icfg, state, origin)
+        intr = jnp.asarray(
+            [self.icfg.fx, self.icfg.fy, self.icfg.cx, self.icfg.cy],
+            jnp.float32,
+        )
+        if self.use_pallas:
+            from dynslam_tpu.ops.pallas_raycast import raycast_tiled
+
+            slots, mask = tsdf.visible_blocks(
+                self.icfg, state, grid, origin, jnp.linalg.inv(c2w)
+            )
+            return raycast_tiled(
+                self.icfg, state, slots, mask, origin, c2w, intr
+            )
+        return tsdf.raycast(self.icfg, state, grid, origin, c2w, intr)

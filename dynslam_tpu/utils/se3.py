@@ -121,6 +121,25 @@ def twist_to_transform(tr: jnp.ndarray) -> jnp.ndarray:
     return make_transform(R, tr[3:6])
 
 
+def np_twist_to_transform(tr) -> "np.ndarray":
+    """Host-numpy twin of `twist_to_transform` — used by the fused dynamic
+    pipeline's tracker bookkeeping, where a per-track jax dispatch would
+    cost a TPU-relay round trip each."""
+    import numpy as np
+
+    rx, ry, rz, tx, ty, tz = (float(v) for v in tr)
+    sx, cx = np.sin(rx), np.cos(rx)
+    sy, cy = np.sin(ry), np.cos(ry)
+    sz, cz = np.sin(rz), np.cos(rz)
+    Rx = np.array([[1.0, 0.0, 0.0], [0.0, cx, -sx], [0.0, sx, cx]])
+    Ry = np.array([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
+    Rz = np.array([[cz, -sz, 0.0], [sz, cz, 0.0], [0.0, 0.0, 1.0]])
+    T = np.eye(4)
+    T[:3, :3] = Rx @ Ry @ Rz
+    T[:3, 3] = (tx, ty, tz)
+    return T
+
+
 def make_transform(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     T = jnp.eye(4, dtype=R.dtype)
     T = T.at[:3, :3].set(R)
