@@ -8,8 +8,15 @@ sparse scene flow + RANSAC visual odometry, TSDF block allocation +
 fusion, full-frame raycast, voxel decay. Synthetic frames are pre-rendered
 (and cached) so the number reflects the framework, not numpy raytracing.
 
+`python bench.py` measures STATIC mode (dynamic_mode=False).
+`python bench.py --dynamic` measures the full DYNAMIC mode — the
+reference's default (DynSLAMGUI.cpp:26-31) — on a 3-moving-car scene:
+per-object motion RANSAC, silhouette cuts, per-object TSDF fusion, all
+inside the single-dispatch fused dynamic step. Instance masks are
+precomputed and preloaded like the reference's MNC dumps.
+
 Prints ONE JSON line:
-  {"metric": "end_to_end_fps_kitti_1242x375", "value": <fps>,
+  {"metric": "end_to_end_fps[_dynamic]_kitti_1242x375", "value": <fps>,
    "unit": "fps", "vs_baseline": <fps / 2.5>}
 vs_baseline is against the reference system's ~2.5 Hz on its desktop GPU
 (ICRA'18 paper figure; the repo itself publishes no numbers, BASELINE.md).
@@ -24,6 +31,7 @@ W, H = 1242, 375
 N_FRAMES = 16
 WARMUP = 3
 CACHE = "/tmp/dynslam_bench_frames_v1.npz"
+CACHE_DYN = "/tmp/dynslam_bench_frames_dyn_v1.npz"
 
 
 def render_frames():
@@ -62,6 +70,176 @@ def render_frames():
     except Exception:
         pass
     return left, right
+
+
+def render_frames_dynamic():
+    import numpy as np
+
+    from dynslam_tpu.config import Intrinsics, StereoCalibration
+    from dynslam_tpu.io.synthetic import (
+        SyntheticScene, render_stereo_frame, straight_trajectory,
+    )
+
+    if os.path.exists(CACHE_DYN):
+        try:
+            data = np.load(CACHE_DYN)
+            if data["left"].shape == (N_FRAMES, H, W):
+                return data["left"], data["right"], data["objid"]
+        except Exception:
+            pass
+
+    intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
+    calib = StereoCalibration(0.537150654273, 707.0912)
+    scene = SyntheticScene.default_scene(
+        with_dynamic=True, seed=11, n_dynamic=3
+    )
+    dyn_ids = np.asarray(
+        [i + 1 for i, b in enumerate(scene.boxes) if b.is_dynamic], np.int32
+    )
+    poses = straight_trajectory(N_FRAMES, speed=0.8, yaw_rate=0.003)
+    left, right, objid = [], [], []
+    t0 = time.time()
+    for i in range(N_FRAMES):
+        fr = render_stereo_frame(scene, poses[i], intr, calib, W, H, frame=i)
+        left.append(np.clip(fr["left_gray"] * 255, 0, 255).astype("uint8"))
+        right.append(np.clip(fr["right_gray"] * 255, 0, 255).astype("uint8"))
+        oid = fr["object_id"]
+        objid.append(
+            np.where(np.isin(oid, dyn_ids), oid, 0).astype(np.int16)
+        )
+        print(f"[bench] rendered dynamic frame {i + 1}/{N_FRAMES} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    left, right, objid = np.stack(left), np.stack(right), np.stack(objid)
+    try:
+        np.savez_compressed(CACHE_DYN, left=left, right=right, objid=objid)
+    except Exception:
+        pass
+    return left, right, objid
+
+
+def detections_from_objid(objid, min_size_px=45):
+    """GT masks -> InstanceDetection list (the MNC-dump role; same mask
+    construction as io/segmentation.build_masks over the dump reader)."""
+    import numpy as np
+
+    from dynslam_tpu.io.segmentation import (
+        BoundingBox, InstanceDetection, build_masks,
+    )
+
+    dets = []
+    for oid in np.unique(objid):
+        if oid <= 0:
+            continue
+        mask = objid == oid
+        if mask.sum() < 16:
+            continue
+        ys, xs = np.nonzero(mask)
+        bbox = BoundingBox(int(xs.min()), int(ys.min()),
+                           int(xs.max()), int(ys.max()))
+        sub = mask[bbox.y0: bbox.y1 + 1, bbox.x0: bbox.x1 + 1]
+        cm, dm, km = build_masks(
+            bbox, sub.astype(np.uint8), min_size_px ** 2
+        )
+        dets.append(InstanceDetection(0.95, 7, cm, dm, km))  # VOC car
+    return dets
+
+
+def main_dynamic():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynslam_tpu.config import (
+        DynSlamConfig, InstanceMapParams, Intrinsics, MapParams,
+        SceneParams, StereoCalibration, StereoMatcherParams,
+        VisualOdometryParams, VoxelDecayParams,
+    )
+    from dynslam_tpu.pipeline.fused_dynamic import FusedDynamicPipeline
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    left_np, right_np, objid = render_frames_dynamic()
+    rng = np.random.default_rng()
+    noise = lambda a: np.clip(
+        a.astype(np.int16) + rng.integers(-1, 2, a.shape, dtype=np.int16),
+        0, 255,
+    ).astype(np.uint8)
+    left_np, right_np = noise(left_np), noise(right_np)
+
+    intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
+    calib = StereoCalibration(0.537150654273, 707.0912)
+    cfg = DynSlamConfig(
+        frame_width=W, frame_height=H, intrinsics=intr, calibration=calib,
+        dynamic_mode=True,
+        scene=SceneParams(voxel_size_m=0.05, mu_m=0.30),
+        map=MapParams(pool_capacity=2 ** 17, local_dims=(160, 48, 160),
+                      max_new_blocks_per_frame=8192),
+        instance_map=InstanceMapParams(max_objects=4),
+        stereo=StereoMatcherParams(max_disparity=128),
+        vo=VisualOdometryParams(),
+        decay=VoxelDecayParams(enabled=True, min_decay_age=200,
+                               max_decay_weight=1),
+    )
+    engine = FusedDynamicPipeline(cfg, calib)
+
+    # precompute detections + mask bit-planes (the reference reads these
+    # from precomputed MNC dumps, PrecomputedSegmentationProvider.cpp);
+    # preload everything to the device like the images
+    dets = [
+        engine.select_detections(detections_from_objid(objid[i]), engine.K)
+        for i in range(N_FRAMES)
+    ]
+    n_det = [len(d) for d in dets]
+    print(f"[bench] detections/frame: {n_det}", file=sys.stderr)
+    masks_dev = []
+    for i in range(N_FRAMES):
+        db, cb = engine.pack_mask_bits(dets[i], H, W)
+        masks_dev.append((jnp.asarray(db), jnp.asarray(cb)))
+    left_dev = [jnp.asarray(x, jnp.float32) for x in left_np]
+    right_dev = [jnp.asarray(x, jnp.float32) for x in right_np]
+    rgb_dev = [
+        jnp.broadcast_to(jnp.asarray(x)[..., None], (H, W, 3))
+        for x in left_np
+    ]
+
+    frame_times = []
+    t_steady = None
+    for i in range(N_FRAMES):
+        t0 = time.perf_counter()
+        # process_frame's deferred tracker pass fetches the PREVIOUS
+        # frame's packed outputs — that fetch is the pipeline sync, so
+        # the host stays exactly one frame ahead of the device
+        engine.process_frame(
+            left_dev[i], right_dev[i], rgb_dev[i], dets[i], masks_dev[i]
+        )
+        if i == WARMUP:
+            t_steady = time.perf_counter()
+        dt = time.perf_counter() - t0
+        frame_times.append(dt)
+        print(f"[bench] frame {i}: {dt * 1000:.1f} ms", file=sys.stderr)
+
+    # consume the final dispatch: forces the whole sequence's chain
+    engine._finish_prev()
+    fps = (N_FRAMES - WARMUP - 1) / (time.perf_counter() - t_steady)
+    used = engine.get_used_block_count()
+    objs = engine.reconstructed_objects()
+    obj_blocks = {
+        t.id: t.reconstruction.get_used_block_count()
+        for t in engine.tracker.active_tracks.values()
+        if t.has_reconstruction()
+    }
+    print(
+        f"[bench] steady-state: {fps:.2f} FPS over "
+        f"{N_FRAMES - WARMUP - 1} dynamic frames; static map {used} "
+        f"blocks; {len(objs)} reconstructed objects {obj_blocks}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "end_to_end_fps_dynamic_kitti_1242x375",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 2.5, 3),
+        "reconstructed_objects": len(objs),
+    }))
 
 
 def main():
@@ -175,4 +353,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--dynamic" in sys.argv:
+        main_dynamic()
+    else:
+        main()

@@ -295,6 +295,24 @@ class FusedPipeline:
         self.carry: Optional[FusedCarry] = None
         self.last_outputs: Optional[FusedOutputs] = None
 
+    def _fresh_carry(self, lg, rg) -> FusedCarry:
+        prev_l, prev_r = _bootstrap_features(self.vo_params, lg, rg)
+        dx, dy, dz = self.cfg.local_dims
+        return FusedCarry(
+            state=tsdf.create_state(self.cfg),
+            pose_w2c=jnp.eye(4, dtype=jnp.float32),
+            held_motion=jnp.eye(4, dtype=jnp.float32),
+            prev_l=prev_l,
+            prev_r=prev_r,
+            prev_lg=lg,
+            prev_rg=rg,
+            frame_idx=jnp.int32(1),
+            dropped=jnp.int32(0),
+            # far-away origin sentinel: frame 1 always rebuilds
+            origin=jnp.full((3,), 1 << 20, jnp.int32),
+            grid=jnp.full((dx * dy * dz,), -1, jnp.int32),
+        )
+
     def process_frame(self, left_gray, right_gray, rgb=None) -> None:
         # static decay gate: no block can reach min_decay_age before
         # frame min_decay_age (alloc_frame >= 0), so the full-pool decay
@@ -320,22 +338,7 @@ class FusedPipeline:
         else:
             rgb = jnp.asarray(rgb, jnp.uint8)
         if self.carry is None:
-            prev_l, prev_r = _bootstrap_features(self.vo_params, lg, rg)
-            dx, dy, dz = self.cfg.local_dims
-            self.carry = FusedCarry(
-                state=tsdf.create_state(self.cfg),
-                pose_w2c=jnp.eye(4, dtype=jnp.float32),
-                held_motion=jnp.eye(4, dtype=jnp.float32),
-                prev_l=prev_l,
-                prev_r=prev_r,
-                prev_lg=lg,
-                prev_rg=rg,
-                frame_idx=jnp.int32(1),
-                dropped=jnp.int32(0),
-                # far-away origin sentinel: frame 1 always rebuilds
-                origin=jnp.full((3,), 1 << 20, jnp.int32),
-                grid=jnp.full((dx * dy * dz,), -1, jnp.int32),
-            )
+            self.carry = self._fresh_carry(lg, rg)
             return
         self.carry, self.last_outputs = fused_step(
             self.cfg, self.stereo_params, self.vo_params, self.use_pallas,

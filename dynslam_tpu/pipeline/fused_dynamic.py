@@ -552,15 +552,51 @@ class FusedDynamicPipeline:
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def select_detections(
+        detections: List[InstanceDetection], k: int
+    ) -> List[InstanceDetection]:
+        """Possibly-dynamic detections, largest-first capped at the K mask
+        slots (deterministic, so bench callers can precompute bitmaps)."""
+        cands = [d for d in detections if d.is_possibly_dynamic()]
+        if len(cands) > k:
+            cands.sort(key=lambda d: d.copy_mask.bbox.area, reverse=True)
+            cands = cands[:k]
+        return cands
+
+    @staticmethod
+    def pack_mask_bits(
+        detections: List[InstanceDetection], h: int, w: int
+    ) -> "tuple[np.ndarray, np.ndarray]":
+        """(delete_bits, copy_bits) uint8 bit-planes for ALREADY-selected
+        detections (bit j = slot j). Action-independent — the device
+        applies the per-slot action gates — so these are precomputable."""
+        delete_bits = np.zeros((h, w), np.uint8)
+        copy_bits = np.zeros((h, w), np.uint8)
+        for j, det in enumerate(detections):
+            delete_bits |= (
+                det.delete_mask.to_full_frame(h, w).astype(np.uint8) << j
+            )
+            if det.is_reconstructable():
+                copy_bits |= (
+                    det.copy_mask.to_full_frame(h, w).astype(np.uint8) << j
+                )
+        return delete_bits, copy_bits
+
     def process_frame(
         self,
         left_gray,
         right_gray,
         rgb=None,
         detections: Optional[List[InstanceDetection]] = None,
+        masks_dev=None,
     ) -> None:
         """One frame. `detections` = this frame's instance segmentation
-        (host data; the reference reads MNC dumps, DynSlam.cpp:121-133)."""
+        (host data; the reference reads MNC dumps, DynSlam.cpp:121-133).
+        `masks_dev` optionally supplies pre-uploaded (delete_bits,
+        copy_bits) device arrays for the SAME `select_detections` subset
+        (bench path: mask rasterization/upload precomputed, like the
+        reference's precomputed MNC dumps)."""
         detections = detections or []
         lg = jnp.array(left_gray, jnp.float32, copy=True)
         rg = jnp.array(right_gray, jnp.float32, copy=True)
@@ -590,11 +626,9 @@ class FusedDynamicPipeline:
 
         # 2. associate this frame's detections (bbox/class only,
         # Track.cpp:17-71 needs no flow)
-        cands = [d for d in detections if d.is_possibly_dynamic()]
-        if len(cands) > self.K:
-            cands.sort(key=lambda d: d.copy_mask.bbox.area, reverse=True)
-            self._dropped_detections += len(cands) - self.K
-            cands = cands[: self.K]
+        n_dyn = sum(1 for d in detections if d.is_possibly_dynamic())
+        self._dropped_detections += max(0, n_dyn - self.K)
+        cands = self.select_detections(detections, self.K)
         new_frames = [
             TrackFrame(
                 frame_idx=frame_no,
@@ -609,8 +643,6 @@ class FusedDynamicPipeline:
         # 3. per-slot actions from the CURRENT (frame k-1-updated) states
         assoc = []
         pending_j: Dict[int, int] = {}
-        delete_bits = np.zeros((h, w), np.uint8)
-        copy_bits = np.zeros((h, w), np.uint8)
         copy_bbox = np.zeros((self.K, 4), np.float32)
         mask_gate = np.zeros(self.K, bool)
         warm_tr = np.zeros((self.K, 6), np.float32)
@@ -626,9 +658,6 @@ class FusedDynamicPipeline:
             if len(track.frames) >= 2 \
                     and track.frames[-2].relative_pose_tr is not None:
                 warm_tr[j] = track.frames[-2].relative_pose_tr
-            delete_bits |= (
-                det.delete_mask.to_full_frame(h, w).astype(np.uint8) << j
-            )
             if track.state == TrackState.UNCERTAIN:
                 act = ACTION_REMOVE if det.is_possibly_dynamic() \
                     else ACTION_KEEP
@@ -643,10 +672,12 @@ class FusedDynamicPipeline:
                 act = ACTION_KEEP
             action[j] = act
             if act == ACTION_CUT:
-                copy_bits |= (
-                    det.copy_mask.to_full_frame(h, w).astype(np.uint8) << j
-                )
                 pending_j[track.id] = j
+
+        if masks_dev is not None:
+            delete_bits, copy_bits = masks_dev
+        else:
+            delete_bits, copy_bits = self.pack_mask_bits(cands, h, w)
 
         # 4. dispatch (routing computed by _finish_prev)
         self.carry, self.last_outputs = fused_dynamic_step(
