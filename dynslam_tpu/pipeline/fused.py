@@ -54,6 +54,10 @@ class FusedCarry(NamedTuple):
     dropped: jnp.ndarray  # i32 cumulative pool-full allocation drops
     origin: jnp.ndarray  # (3,) i32 local-window origin the grid is built for
     grid: jnp.ndarray  # (n_cells,) i32 persistent local index cache
+    #: previous frame's model render (points world-frame + hit mask), the
+    #: ICP fallback's reference (frame-to-model, InfiniTamDriver.h:120-124)
+    prev_rc_points: jnp.ndarray  # (H, W, 3) f32
+    prev_rc_hit: jnp.ndarray  # (H, W) bool
 
 
 class FusedOutputs(NamedTuple):
@@ -92,6 +96,37 @@ def _refine_matches(lg, rg, prev_lg, prev_rg, flow, valid, params):
             flow,
         )
     return flow, valid
+
+
+def motion_with_icp_fallback(est, carry, depth_m, intr_vec):
+    """The frame's camera delta: sparse-VO when it succeeded, else ICP
+    depth tracking against the previous frame's model render (the
+    staged path's fallback, dynslam.py:106-134 / InfiniTamDriver.h:
+    120-124), else coast on the held motion. The ICP branch only
+    EXECUTES on VO-failure frames (lax.cond with small outputs), so
+    success frames pay nothing."""
+
+    def vo_branch(_):
+        return est.matrix
+
+    def icp_branch(_):
+        from dynslam_tpu.ops.icp import icp_track
+
+        res = icp_track(
+            depth_m, carry.prev_rc_points, carry.prev_rc_hit,
+            carry.pose_w2c, carry.held_motion @ carry.pose_w2c, intr_vec,
+        )
+        # delta = new_w2c @ old_c2w
+        R = carry.pose_w2c[:3, :3]
+        t = carry.pose_w2c[:3, 3]
+        old_c2w = jnp.eye(4, dtype=jnp.float32)
+        old_c2w = old_c2w.at[:3, :3].set(R.T)
+        old_c2w = old_c2w.at[:3, 3].set(-R.T @ t)
+        return jnp.where(
+            res.success, res.world_to_cam @ old_c2w, carry.held_motion
+        )
+
+    return jax.lax.cond(est.success, vo_branch, icp_branch, None)
 
 
 @partial(
@@ -146,7 +181,7 @@ def fused_step(
     est = ego_ops.estimate_motion(
         flow, valid, calib_vec, key, jnp.zeros(6, jnp.float32), vo_params
     )
-    held = jnp.where(est.success, est.matrix, carry.held_motion)
+    held = motion_with_icp_fallback(est, carry, depth_m, intr_vec)
     pose_w2c = held @ carry.pose_w2c  # new = delta @ old (CLAUDE.md)
 
     # --- mapping: allocate + fuse + raycast + decay ----------------------
@@ -210,6 +245,8 @@ def fused_step(
         dropped=carry.dropped + n_drop,
         origin=origin,
         grid=grid,
+        prev_rc_points=rc.points,
+        prev_rc_hit=rc.hit,
     )
     sync = (
         rc.depth[::64, ::64].sum()
@@ -311,6 +348,10 @@ class FusedPipeline:
             # far-away origin sentinel: frame 1 always rebuilds
             origin=jnp.full((3,), 1 << 20, jnp.int32),
             grid=jnp.full((dx * dy * dz,), -1, jnp.int32),
+            # empty model render: the ICP fallback can't associate, so
+            # frame 1 falls through to the held motion automatically
+            prev_rc_points=jnp.zeros((*lg.shape, 3), jnp.float32),
+            prev_rc_hit=jnp.zeros(lg.shape, bool),
         )
 
     def process_frame(self, left_gray, right_gray, rgb=None) -> None:

@@ -62,7 +62,9 @@ from dynslam_tpu.ops import egomotion as ego_ops
 from dynslam_tpu.ops import features as feat_ops
 from dynslam_tpu.ops import stereo as stereo_ops
 from dynslam_tpu.ops import tsdf
-from dynslam_tpu.pipeline.fused import _refine_matches
+from dynslam_tpu.pipeline.fused import (
+    _refine_matches, motion_with_icp_fallback,
+)
 from dynslam_tpu.utils import se3
 
 #: silhouette actions (ProcessSilhouette branches,
@@ -88,6 +90,9 @@ class FusedDynCarry(NamedTuple):
     dropped: jnp.ndarray
     origin: jnp.ndarray
     grid: jnp.ndarray
+    #: previous frame's model render for the ICP fallback (fused.py)
+    prev_rc_points: jnp.ndarray  # (H, W, 3) f32
+    prev_rc_hit: jnp.ndarray  # (H, W) bool
     #: stacked per-object volumes, leaf shapes (S, ...)
     inst: tsdf.TsdfState
     inst_fidx: jnp.ndarray  # (S,) i32 per-slot fusion clock (decay age)
@@ -236,7 +241,7 @@ def fused_dynamic_step(
     est = ego_ops.estimate_motion(
         flow, valid, calib_vec, key, jnp.zeros(6, jnp.float32), vo_params
     )
-    held = jnp.where(est.success, est.matrix, carry.held_motion)
+    held = motion_with_icp_fallback(est, carry, depth_m, intr_vec)
     pose_w2c = held @ carry.pose_w2c
 
     # --- per-mask object motion (ExtractSceneFlow + ExtractMotion roles,
@@ -369,6 +374,8 @@ def fused_dynamic_step(
         dropped=carry.dropped + n_drop,
         origin=origin,
         grid=grid,
+        prev_rc_points=rc.points,
+        prev_rc_hit=rc.hit,
         inst=inst,
         inst_fidx=inst_fidx,
         pending_depth=new_pending_depth,
@@ -545,6 +552,8 @@ class FusedDynamicPipeline:
             dropped=jnp.int32(0),
             origin=jnp.full((3,), 1 << 20, jnp.int32),
             grid=jnp.full((dx * dy * dz,), -1, jnp.int32),
+            prev_rc_points=jnp.zeros((h, w, 3), jnp.float32),
+            prev_rc_hit=jnp.zeros((h, w), bool),
             inst=inst,
             inst_fidx=jnp.zeros(self.S, jnp.int32),
             pending_depth=jnp.zeros((self.K, h, w), jnp.float32),

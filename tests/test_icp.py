@@ -96,3 +96,61 @@ def test_pipeline_icp_mode(tmp_path):
         errs.append(np.linalg.norm(est_c2w[:3, 3] - gt[k][:3, 3]))
     rmse = float(np.sqrt(np.mean(np.square(errs))))
     assert rmse < 0.08, f"ICP-mode trajectory RMSE {rmse:.3f} m"
+
+
+def test_fused_icp_fallback_recovers_motion():
+    """VERDICT r3 item 5: on VO failure the fused step's delta comes from
+    ICP against the previous model render (not a blind coast). Unit-level
+    check of pipeline/fused.py's motion_with_icp_fallback."""
+    from types import SimpleNamespace
+
+    from dynslam_tpu.ops.egomotion import MotionEstimate
+    from dynslam_tpu.pipeline.fused import motion_with_icp_fallback
+
+    scene = SyntheticScene.default_scene(seed=5)
+    cfg = _cfg()
+    eye = np.eye(4, dtype=np.float32)
+    state = tsdf.create_state(cfg)
+    rgb = jnp.zeros((H, W, 3), jnp.uint8)
+    for t in range(2):
+        depth = jnp.asarray(_depth_at(scene, eye))
+        origin = tsdf.compute_origin(cfg, jnp.asarray(eye))
+        grid = tsdf.build_local_grid(cfg, state, origin)
+        state, grid, _ = tsdf.allocate(cfg, state, grid, origin, depth,
+                                       jnp.asarray(eye), jnp.int32(t))
+        slots, mask = tsdf.visible_blocks(cfg, state, grid, origin,
+                                          jnp.asarray(eye))
+        state = tsdf.integrate(cfg, state, slots, mask, rgb, depth,
+                               jnp.asarray(eye), jnp.int32(t))
+    intr = jnp.asarray([cfg.fx, cfg.fy, cfg.cx, cfg.cy], jnp.float32)
+    rc = tsdf.raycast(cfg, state, grid, origin, jnp.asarray(eye), intr)
+
+    gt_c2w = np.eye(4, dtype=np.float32)
+    gt_c2w[:3, 3] = [0.02, 0.0, 0.20]
+    cur_depth = jnp.asarray(_depth_at(scene, gt_c2w))
+
+    carry = SimpleNamespace(
+        prev_rc_points=rc.points,
+        prev_rc_hit=rc.hit,
+        pose_w2c=jnp.eye(4, dtype=jnp.float32),
+        held_motion=jnp.eye(4, dtype=jnp.float32),  # deliberately wrong
+    )
+    est_failed = MotionEstimate(
+        tr=jnp.zeros(6), matrix=jnp.eye(4),
+        inliers=jnp.zeros(cur_depth.size, bool),
+        num_inliers=jnp.int32(0), success=jnp.bool_(False),
+    )
+    delta = np.asarray(
+        motion_with_icp_fallback(est_failed, carry, cur_depth, intr)
+    )
+    gt_delta = np.linalg.inv(gt_c2w)  # w2c of the new frame @ old c2w (= I)
+    # a blind coast on held_motion (identity) would err by the full 0.2 m
+    assert np.linalg.norm(delta[:3, 3] - gt_delta[:3, 3]) < 0.05
+    # and on VO success the estimator's matrix passes straight through
+    est_ok = est_failed._replace(
+        success=jnp.bool_(True), matrix=jnp.asarray(gt_delta)
+    )
+    delta_ok = np.asarray(
+        motion_with_icp_fallback(est_ok, carry, cur_depth, intr)
+    )
+    np.testing.assert_allclose(delta_ok, gt_delta, atol=1e-6)
