@@ -536,7 +536,7 @@ def integrate_pallas(
     )
 
     # ---- near tier: full-image window over compacted near rows ---------
-    (n_idx,) = jnp.nonzero(near, size=NEAR_FULL_CAP, fill_value=V)
+    n_idx = T.compact_mask(near, NEAR_FULL_CAP, V)
     n_ok = n_idx < V
     n_idx_c = jnp.clip(n_idx, 0, V - 1)
     n_slots = jnp.where(n_ok, slots_c[n_idx_c], P - 1)

@@ -293,6 +293,10 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
             (packed >> 16).astype(jnp.float32) * (1.0 / T.SDF_SCALE),
             1.0,
         )
+        # bf16 copy for the march loop's per-step sampling: quantizes the
+        # SDF by ~0.4% (sub-mm at mu=0.30 m) and runs the dominant MXU
+        # contraction on the fast bf16 pass
+        sdf_tab_bf = sdf_tab.astype(jnp.bfloat16)
         linq = linq_ref[:]  # (1, 1, K*4)
         ox = params_ref[4, 0]
         oy = params_ref[4, 1]
@@ -323,17 +327,20 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
         )
 
         def sample_table(t_s, table):
-            """One-hot MXU sampling of `table` ((K*4,128) f32) at the
-            nearest voxel; returns (value, in_candidate)."""
+            """One-hot MXU sampling of `table` ((K*4,128)) at the nearest
+            voxel; returns (value, in_candidate). The contraction runs in
+            the TABLE's dtype: the one-hot makes it an exact selection
+            (no accumulation), so a bf16 table costs only bf16 value
+            quantization — and the bf16 MXU pass is ~4x the f32 one."""
             lin, lane = sample_ids(t_s)
-            oh = (lin[:, :, None] == linq).astype(jnp.float32)
+            oh = (lin[:, :, None] == linq).astype(table.dtype)
             w1 = jax.lax.dot_general(
                 oh, table, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (TILE_H, TILE_W, 128)
             ohl = (lane_iota == lane[:, :, None]).astype(jnp.float32)
             val = jnp.sum(w1 * ohl, axis=2)
-            inany = jnp.sum(oh, axis=2)
+            inany = jnp.sum(oh.astype(jnp.float32), axis=2)
             return val, inany
 
         # ---- fused march: placement + sampling + crossing in ONE pass,
@@ -353,7 +360,7 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
             @pl.when(done_s[0, 0] == 0)
             def _step():
                 t_cur = t_s[:]
-                val, inany = sample_table(t_cur, sdf_tab)
+                val, inany = sample_table(t_cur, sdf_tab_bf)
                 sdf = val + (1.0 - inany)  # outside candidates: +1.0
                 prev_sdf = psdf_s[:]
                 # a leap leaves prev far behind: clamp the virtual
