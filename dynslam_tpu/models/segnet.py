@@ -65,6 +65,26 @@ def create_model() -> SegNetLite:
     return SegNetLite()
 
 
+def save_params(path: str, params) -> None:
+    """Serialize trained params (flax msgpack) for the offline tools."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(path: str, model: SegNetLite, height: int, width: int):
+    """Load params serialized by `save_params` (shape template from a
+    fresh init at the working resolution)."""
+    import jax
+
+    from flax import serialization
+
+    template = init_params(model, jax.random.PRNGKey(0), height, width)
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
 def init_params(model: SegNetLite, rng, height: int, width: int):
     return model.init(rng, jnp.zeros((1, height, width, 3), jnp.float32))
 
@@ -107,18 +127,19 @@ class LearnedSegmentationProvider(SegmentationProvider):
         self._apply = jax.jit(lambda p, x: jax.nn.sigmoid(model.apply(p, x)))
         self._last_prob = None
 
-    def segment_frame(self, rgb: np.ndarray) -> InstanceSegmentationResult:
-        import time
-
+    def raw_detections(self, rgb: np.ndarray):
+        """Connected-component instances as raw (bbox, prob, class_id,
+        bbox-sized binary mask) tuples — the MNC dump payload (what the
+        reference's MNC stage writes per detection,
+        preprocess-sequence.sh:230-257)."""
         import cv2
 
-        t0 = time.perf_counter_ns()
         prob = np.asarray(self._apply(self.params, rgb[None].astype(np.float32)))[0]
         self._last_prob = prob
         binary = (prob > self.threshold).astype(np.uint8)
 
         n, labels, stats, _ = cv2.connectedComponentsWithStats(binary)
-        detections: List[InstanceDetection] = []
+        out = []
         for i in range(1, n):
             x, y, w, h, area = stats[i]
             if w * h <= self.min_area:
@@ -126,8 +147,17 @@ class LearnedSegmentationProvider(SegmentationProvider):
             bbox = BoundingBox(int(x), int(y), int(x + w - 1), int(y + h - 1))
             mask = (labels[y : y + h, x : x + w] == i).astype(np.uint8)
             score = float(prob[y : y + h, x : x + w][mask > 0].mean())
+            out.append((bbox, score, 7, mask))
+        return out
+
+    def segment_frame(self, rgb: np.ndarray) -> InstanceSegmentationResult:
+        import time
+
+        t0 = time.perf_counter_ns()
+        detections: List[InstanceDetection] = []
+        for bbox, score, class_id, mask in self.raw_detections(rgb):
             cm, dm, km = build_masks(bbox, mask, self.min_area)
-            detections.append(InstanceDetection(score, 7, cm, dm, km))
+            detections.append(InstanceDetection(score, class_id, cm, dm, km))
         return InstanceSegmentationResult(
             instance_detections=detections,
             inference_time_ns=time.perf_counter_ns() - t0,
