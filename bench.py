@@ -221,6 +221,10 @@ def main_dynamic():
     engine._finish_prev()
     fps = (N_FRAMES - WARMUP - 1) / (time.perf_counter() - t_steady)
     used = engine.get_used_block_count()
+    vox = getattr(engine, "last_fused_voxels", 0) \
+        + getattr(engine, "last_march_samples", 0)
+    print(f"[bench] measured voxel-ops last frame: {vox / 1e6:.1f} M "
+          f"(~{vox * fps / 1e6:.0f} M/s)", file=sys.stderr)
     objs = engine.reconstructed_objects()
     obj_blocks = {
         t.id: t.reconstruction.get_used_block_count()
@@ -305,11 +309,15 @@ def main():
     frame_times = []
     prev_sync = None
     t_steady = None
+    vox_counters = []  # device scalars, fetched after the timed window
 
     for i in range(N_FRAMES):
         t0 = time.perf_counter()
 
         engine.process_frame(left_dev[i], right_dev[i], rgb_dev[i])
+        if i > WARMUP:
+            vox_counters.append((engine.last_outputs.fused_voxels,
+                                 engine.last_outputs.march_samples))
         if i > 0:
             # one-frame-deep pipeline: FETCH the PREVIOUS frame's sync
             # scalar (depends on every stage of that frame) so host
@@ -332,14 +340,16 @@ def main():
     float(np.asarray(prev_sync))
     fps = (N_FRAMES - WARMUP - 1) / (time.perf_counter() - t_steady)
     used = engine.get_used_block_count()
-    # secondary metric (BASELINE.json): TSDF fusion+raycast voxel throughput
-    vox_per_frame = (
-        engine.cfg.max_visible_blocks * 512  # fused voxels per frame
-        + W * H * (engine.cfg.raycast_coarse_steps / 4
-                   + engine.cfg.raycast_fine_steps)  # ray samples
-    )
-    print(f"[bench] ~{vox_per_frame * fps / 1e6:.0f} M voxel-ops/s "
-          f"(fusion+raycast)", file=sys.stderr)
+    # secondary metric (BASELINE.json): TSDF fusion+raycast voxel
+    # throughput, MEASURED on device per frame — voxels in blocks gated
+    # into fusion + ray samples the raycast kernel actually marched
+    vox_per_frame = float(np.mean(
+        [float(np.asarray(a)) + float(np.asarray(b))
+         for a, b in vox_counters]
+    ))
+    print(f"[bench] {vox_per_frame * fps / 1e6:.0f} M voxel-ops/s "
+          f"(measured fusion+raycast, {vox_per_frame / 1e6:.1f} M/frame)",
+          file=sys.stderr)
     print(
         f"[bench] steady-state: {fps:.2f} FPS over {N_FRAMES - WARMUP - 1} frames; "
         f"map {used} blocks", file=sys.stderr,

@@ -182,6 +182,9 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
         t_out_ref,  # (TILE_H, TILE_W) f32
         color_out_ref,  # (TILE_H, TILE_W) int32
         weight_out_ref,  # (TILE_H, TILE_W) f32
+        steps_out_ref,  # (ty_n, tx_n) int32 SMEM (whole array, constant
+        # index map — (1,1) blocks violate Mosaic's block granularity);
+        # each tile writes its own cell
         vox_s,  # (K*4, 128) int32 scratch
         col_s,  # (K*4, 128) int32 scratch
         tin_s,  # (K, TILE_H, TILE_W) f32
@@ -355,10 +358,12 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
         bh_s[:] = jnp.full((TILE_H, TILE_W), _BIG, jnp.float32)
         bc_s[:] = jnp.full((TILE_H, TILE_W), _BIG, jnp.float32)
         done_s[0, 0] = 0
+        steps_out_ref[ty, tx] = 0
 
         def march(s, _):
             @pl.when(done_s[0, 0] == 0)
             def _step():
+                steps_out_ref[ty, tx] = steps_out_ref[ty, tx] + 1
                 t_cur = t_s[:]
                 val, inany = sample_table(t_cur, sdf_tab_bf)
                 sdf = val + (1.0 - inany)  # outside candidates: +1.0
@@ -493,6 +498,8 @@ def raycast_tiled(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty_n, tx_n), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((K * 4, 128), jnp.int32),
@@ -510,13 +517,14 @@ def raycast_tiled(
     )
 
     hp, wp = ty_n * TILE_H, tx_n * TILE_W
-    t_img, color_bits, weight = pl.pallas_call(
+    t_img, color_bits, weight, tile_steps = pl.pallas_call(
         _kernel_factory(cfg, n_steps),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((ty_n, tx_n), jnp.int32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -545,5 +553,6 @@ def raycast_tiled(
         hit[..., None], T.unpack_rgb(color_bits), jnp.zeros(3, jnp.uint8)
     )
     return T.Raycast(
-        depth=t_img, points=points, color=color, weight=weight, hit=hit
+        depth=t_img, points=points, color=color, weight=weight, hit=hit,
+        march_samples=jnp.sum(tile_steps) * (TILE_H * TILE_W),
     )

@@ -508,6 +508,10 @@ class Raycast(NamedTuple):
     color: jnp.ndarray  # (H, W, 3) uint8
     weight: jnp.ndarray  # (H, W) f32 voxel weight at hit
     hit: jnp.ndarray  # (H, W) bool
+    #: i32 scalar — ray samples actually marched this render (the Pallas
+    #: kernel counts executed per-tile march steps; None on paths that
+    #: don't measure). Telemetry only (bench voxel-ops/s).
+    march_samples: jnp.ndarray = None
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))

@@ -68,6 +68,11 @@ class FusedOutputs(NamedTuple):
     vo_inliers: jnp.ndarray  # i32 scalar
     n_new_blocks: jnp.ndarray  # i32 scalar
     n_freed_blocks: jnp.ndarray  # i32 scalar
+    #: i32 scalars MEASURED on device this frame (bench voxel-ops/s):
+    #: voxels in blocks actually gated into fusion, and ray samples the
+    #: raycast kernel actually marched (0 on the XLA raycast path)
+    fused_voxels: jnp.ndarray
+    march_samples: jnp.ndarray
     sync: jnp.ndarray  # f32 scalar depending on every stage — fetching it
     # (one ~35 ms relay round trip) is the reliable way to wait for the
     # frame: block_until_ready through the relay is both unreliable and
@@ -262,6 +267,9 @@ def fused_step(
         vo_inliers=est.num_inliers,
         n_new_blocks=n_new,
         n_freed_blocks=n_freed,
+        fused_voxels=jnp.sum(mask.astype(jnp.int32)) * 512,
+        march_samples=(rc.march_samples if rc.march_samples is not None
+                       else jnp.int32(0)),
         sync=sync,
     )
     return carry2, outs
@@ -329,6 +337,10 @@ class FusedPipeline:
         )
         self.bf = jnp.float32(calib.bf)
         self.base_key = jax.random.PRNGKey(seed)
+        # device-resident once: fresh per-frame jnp scalars would each
+        # cost a ~5 ms relay upload per dispatch
+        self._mdw = jnp.float32(self.decay_params.max_decay_weight)
+        self._mda = jnp.int32(self.decay_params.min_decay_age)
         self.carry: Optional[FusedCarry] = None
         self.last_outputs: Optional[FusedOutputs] = None
 
@@ -385,8 +397,7 @@ class FusedPipeline:
             self.cfg, self.stereo_params, self.vo_params, self.use_pallas,
             decay_on,
             self.carry, lg, rg, rgb, self.calib_vec, self.intr_vec, self.bf,
-            jnp.float32(self.decay_params.max_decay_weight),
-            jnp.int32(self.decay_params.min_decay_age),
+            self._mdw, self._mda,
             self.base_key,
         )
 

@@ -121,6 +121,10 @@ def pack_layout(K: int):
         ("n_new", 1), ("n_freed", 1), ("dropped", 1),
         ("obj_tr", 6 * K), ("obj_success", K), ("obj_inliers", K),
         ("obj_count", K),
+        # measured device work counters (bench voxel-ops/s): voxels in
+        # blocks actually gated into fusion (static + instances) and ray
+        # samples the raycast kernel actually marched
+        ("fused_voxels", 1), ("march_samples", 1),
     ]:
         off[name] = (cur, size)
         cur += size
@@ -131,6 +135,27 @@ def _tree_select(pred, a, b):
     return jax.tree_util.tree_map(
         lambda x, y: jnp.where(pred, x, y), a, b
     )
+
+
+def route_layout(K: int, S: int):
+    """(name, offset, size) layout of the packed ROUTING input vector.
+
+    Every per-frame host-side scalar/small-array input travels in ONE
+    f32 vector: through the TPU relay each jitted-call argument that is
+    still host memory costs a separate ~5 ms upload round trip
+    (measured: 8 small args = 42.8 ms/call, 1 packed vector = 3.2 ms),
+    which dominated dynamic-mode frame time before this packing."""
+    off = {}
+    cur = 0
+    for name, size in [
+        ("copy_bbox", K * 4), ("mask_gate", K), ("warm_tr", K * 6),
+        ("action", K), ("slot_src", S), ("fuse_pose", S * 16),
+        ("slot_reset", S), ("slot_reap_w", S),
+        ("max_decay_weight", 1), ("min_decay_age", 1),
+    ]:
+        off[name] = (cur, size)
+        cur += size
+    return off, cur
 
 
 def _fuse_one_instance(
@@ -172,14 +197,15 @@ def _fuse_one_instance(
             icfg, st2, fidx + 1, max_decay_weight, min_decay_age
         )
     st = _tree_select(act, st2, st)
-    return st, fidx + act.astype(jnp.int32)
+    nvox = jnp.sum((mask & act).astype(jnp.int32)) * 512
+    return st, fidx + act.astype(jnp.int32), nvox
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "cfg", "icfg", "stereo_params", "vo_params", "obj_params",
-        "use_pallas", "decay_enabled", "inst_decay",
+        "use_pallas", "decay_enabled", "inst_decay", "K", "S",
     ),
     donate_argnames=("carry",),
 )
@@ -192,31 +218,41 @@ def fused_dynamic_step(
     use_pallas: bool,
     decay_enabled: bool,
     inst_decay: bool,
+    K: int,  # mask slots
+    S: int,  # pooled volume slots
     carry: FusedDynCarry,
     left_gray: jnp.ndarray,  # (H, W) f32
     right_gray: jnp.ndarray,  # (H, W) f32
     rgb: jnp.ndarray,  # (H, W, 3) uint8
     delete_bits: jnp.ndarray,  # (H, W) uint8, bit j = delete mask of slot j
     copy_bits: jnp.ndarray,  # (H, W) uint8, bit j = copy mask of slot j
-    copy_bbox: jnp.ndarray,  # (K, 4) f32 x0,y0,x1,y1 (inclusive)
-    mask_gate: jnp.ndarray,  # (K,) bool — estimate motion for this slot
-    warm_tr: jnp.ndarray,  # (K, 6) f32 warm-start twists
-    action: jnp.ndarray,  # (K,) i32 silhouette action codes
-    slot_src: jnp.ndarray,  # (S,) i32 pending index fused into slot, -1=none
-    fuse_pose: jnp.ndarray,  # (S, 4, 4) f32 w2c chain pose per slot
-    slot_reset: jnp.ndarray,  # (S,) bool fresh-acquire reset
-    slot_reap_w: jnp.ndarray,  # (S,) f32 reap weight, 0 = no reap
+    routing: jnp.ndarray,  # (route_layout(K, S) total,) f32 — every
+    # per-frame host scalar/small-array input packed into ONE upload
+    # (copy_bbox, mask_gate, warm_tr, action, slot_src, fuse_pose,
+    # slot_reset, slot_reap_w, max_decay_weight, min_decay_age)
     calib_vec: jnp.ndarray,
     intr_vec: jnp.ndarray,
     bf: jnp.ndarray,
-    max_decay_weight: jnp.ndarray,
-    min_decay_age: jnp.ndarray,
     base_key: jnp.ndarray,
 ):
     """One full dynamic frame: returns (carry', FusedDynOutputs)."""
-    K = copy_bbox.shape[0]
-    S = slot_src.shape[0]
     h, w = left_gray.shape
+    RL, _ = route_layout(K, S)
+
+    def route(name):
+        o, n = RL[name]
+        return jax.lax.dynamic_slice_in_dim(routing, o, n)
+
+    copy_bbox = route("copy_bbox").reshape(K, 4)
+    mask_gate = route("mask_gate") > 0.5
+    warm_tr = route("warm_tr").reshape(K, 6)
+    action = jnp.round(route("action")).astype(jnp.int32)
+    slot_src = jnp.round(route("slot_src")).astype(jnp.int32)
+    fuse_pose = route("fuse_pose").reshape(S, 4, 4)
+    slot_reset = route("slot_reset") > 0.5
+    slot_reap_w = route("slot_reap_w")
+    max_decay_weight = route("max_decay_weight")[0]
+    min_decay_age = jnp.round(route("min_decay_age")[0]).astype(jnp.int32)
 
     # --- stereo depth -----------------------------------------------------
     disp = stereo_ops.compute_disparity_jit(left_gray, right_gray,
@@ -301,7 +337,7 @@ def fused_dynamic_step(
     # on hardware
     fresh = tsdf.create_state(icfg)
     src_c = jnp.clip(slot_src, 0, K - 1)
-    inst, inst_fidx = jax.vmap(
+    inst, inst_fidx, inst_nvox = jax.vmap(
         lambda st, fx, d, rgb, p, a, rs, rw: _fuse_one_instance(
             icfg, use_pallas, fresh, st, fx, d, rgb, p, a, rs, rw,
             inst_decay, max_decay_weight, min_decay_age,
@@ -398,6 +434,10 @@ def fused_dynamic_step(
         obj_success.astype(jnp.float32),
         obj_inliers.astype(jnp.float32),
         obj_count.astype(jnp.float32),
+        (jnp.sum(mask.astype(jnp.int32)) * 512
+         + jnp.sum(inst_nvox)).astype(jnp.float32)[None],
+        (rc.march_samples if rc.march_samples is not None
+         else jnp.int32(0)).astype(jnp.float32)[None],
     ])
     outs = FusedDynOutputs(
         raycast=rc, depth_m=depth_m, pose_w2c=pose_w2c, packed=packed
@@ -489,6 +529,7 @@ class FusedDynamicPipeline:
         self.K = min(imp.max_objects, 8)
         self.S = imp.max_objects
         self._layout, self._packed_len = pack_layout(self.K)
+        self._route_layout_cache = route_layout(self.K, self.S)
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
@@ -681,26 +722,42 @@ class FusedDynamicPipeline:
         if masks_dev is not None:
             delete_bits, copy_bits = masks_dev
         else:
-            delete_bits, copy_bits = self.pack_mask_bits(cands, h, w)
+            db, cb = self.pack_mask_bits(cands, h, w)
+            # ONE upload for both bit-planes (each relay upload is ~5 ms)
+            both = jnp.asarray(np.stack([db, cb]))
+            delete_bits, copy_bits = both[0], both[1]
 
-        # 4. dispatch (routing computed by _finish_prev)
+        # 4. dispatch (slot routing computed by _finish_prev); all small
+        # per-frame host inputs travel in ONE packed f32 vector — each
+        # separate host-memory argument costs a ~5 ms relay upload
+        RL, total = self._route_layout_cache
+        route = np.zeros(total, np.float32)
+
+        def put(name, val):
+            o, n = RL[name]
+            route[o: o + n] = np.asarray(val, np.float32).ravel()
+
+        put("copy_bbox", copy_bbox)
+        put("mask_gate", mask_gate)
+        put("warm_tr", warm_tr)
+        put("action", action)
+        put("slot_src", self._route_src)
+        put("fuse_pose", self._route_pose)
+        put("slot_reset", self._route_reset)
+        put("slot_reap_w", self._route_reap)
+        put("max_decay_weight", self.decay_params.max_decay_weight)
+        put("min_decay_age", self.decay_params.min_decay_age)
+
         self.carry, self.last_outputs = fused_dynamic_step(
             self.cfg, self.icfg, self.stereo_params, self.vo_params,
             self.obj_params, self.use_pallas,
             self.decay_params.enabled
             and frame_no >= int(self.decay_params.min_decay_age),
             self.decay_params.enabled,
+            self.K, self.S,
             self.carry, lg, rg, rgb,
-            jnp.asarray(delete_bits), jnp.asarray(copy_bits),
-            jnp.asarray(copy_bbox), jnp.asarray(mask_gate),
-            jnp.asarray(warm_tr), jnp.asarray(action),
-            jnp.asarray(self._route_src),
-            jnp.asarray(self._route_pose),
-            jnp.asarray(self._route_reset),
-            jnp.asarray(self._route_reap),
+            delete_bits, copy_bits, jnp.asarray(route),
             self.calib_vec, self.intr_vec, self.bf,
-            jnp.float32(self.decay_params.max_decay_weight),
-            jnp.int32(self.decay_params.min_decay_age),
             self.base_key,
         )
         self._dispatch_meta = (frame_no, assoc, pending_j)
@@ -741,6 +798,8 @@ class FusedDynamicPipeline:
         obj_tr = get("obj_tr").reshape(self.K, 6)
         obj_success = get("obj_success") > 0.5
         obj_count = get("obj_count").astype(int)
+        self.last_fused_voxels = int(get("fused_voxels")[0])
+        self.last_march_samples = int(get("march_samples")[0])
 
         min_flow = self.config.tracker.min_flow_vectors
         for j, track in assoc:
