@@ -161,6 +161,11 @@ class VisualOdometryParams:
     ransac_iters: int = 500
     inlier_threshold_px: float = 2.0
     gn_iters: int = 8
+    #: Tukey-biweight IRLS rounds after the initial inlier-weighted GN
+    #: (rejects heavy-tailed inlier-set matches that bias forward scale)
+    irls_rounds: int = 8
+    #: Tukey scale in pixels (residual norm over the 4 stacked components)
+    tukey_c_px: float = 0.5
     #: half-window of the feature descriptor patch
     descriptor_radius: int = 5
     #: stereo match: max disparity searched, epipolar band half-height

@@ -182,10 +182,34 @@ def estimate_motion(
     best_inl = inl_masks[best]
 
     # --- final weighted refinement on the inlier set --------------------
-    w_final = best_inl.astype(jnp.float32) * col_w
+    w_base = best_inl.astype(jnp.float32) * col_w
     tr_final = _gn_solve(
-        trs[best], pts_prev, flow, w_final, fx, cu, cv, baseline,
+        trs[best], pts_prev, flow, w_base, fx, cu, cv, baseline,
         iters=params.gn_iters,
+    )
+
+    # Tukey-biweight IRLS rounds: the inlier set retains heavy-tailed
+    # wrong-ish matches (e.g. LK corrections clipped at the search bound,
+    # truncated-noise far points) that plain L2 — and even Huber — still
+    # feels; their net pull is a systematic forward-scale shrinkage
+    # (~-1.8 %/frame at the 320x96/f=260 gate config). A redescending
+    # weight fully rejects them: measured -1.76 -> -0.27 %/frame.
+    # Collapse guard: if the reweight leaves <6 supported matches (tiny
+    # per-object match sets), keep the previous round's weights.
+    c2 = params.tukey_c_px * params.tukey_c_px
+
+    def irls_round(carry, _):
+        tr, w_prev = carry
+        r = _residuals(tr, pts_prev, flow, fx, cu, cv, baseline)
+        rn2 = jnp.sum(r * r, axis=-1) / c2
+        w = w_base * jnp.square(jnp.maximum(0.0, 1.0 - rn2))
+        ok = jnp.sum(w > 0.0) >= 6
+        w = jnp.where(ok, w, w_prev)
+        tr2 = _gn_solve(tr, pts_prev, flow, w, fx, cu, cv, baseline, iters=4)
+        return (tr2, w), None
+
+    (tr_final, _), _ = jax.lax.scan(
+        irls_round, (tr_final, w_base), None, length=params.irls_rounds
     )
     _, final_inl = count_inliers(tr_final)
     num_inl = jnp.sum(final_inl)
