@@ -257,11 +257,36 @@ class InstanceReconstructor:
             if t.has_reconstruction() and t.end_time == self.frame_idx
         ]
 
+    def _batched_track_raycasts(self, view_w2c: np.ndarray):
+        """One batched raycast over every renderable track's volume
+        (replaces the serial per-track render of CompositeInstances,
+        InstanceReconstructor.cpp:933-990). Returns (tracks, stacked
+        Raycast) or (empty, None). Tracks whose reconstruction handle is
+        not a pool slot (e.g. the fused pipeline's) fall back to per-track
+        renders by the caller."""
+        tracks, slots, poses = [], [], []
+        for track in self._active_renderable_tracks():
+            pose = self._instance_render_pose(track, view_w2c)
+            if pose is None:
+                continue
+            tracks.append((track, pose))
+            handle = track.reconstruction
+            if hasattr(handle, "pool") and hasattr(handle, "slot"):
+                slots.append(handle.slot)
+                poses.append(pose)
+        if not tracks:
+            return [], None
+        if len(slots) == len(tracks):
+            pool = tracks[0][0].reconstruction.pool
+            return tracks, pool.raycast_many(slots, poses)
+        return tracks, None
+
     def composite_instance_depth_maps(self, depth: np.ndarray,
                                       cam_to_world: Optional[np.ndarray],
                                       dyn_slam) -> np.ndarray:
         """Z-merge instance raycast depth into the static depth render
-        (CompositeInstanceDepthMaps, :911-931)."""
+        (CompositeInstanceDepthMaps, :911-931) — all tracks rendered in
+        one dispatch and merged in one executable."""
         import jax.numpy as jnp
 
         view_w2c = (
@@ -269,11 +294,16 @@ class InstanceReconstructor:
             if cam_to_world is not None
             else dyn_slam.get_current_pose()
         )
+        tracks, rc_b = self._batched_track_raycasts(view_w2c)
+        if not tracks:
+            return depth
+        if rc_b is not None:
+            n = len(tracks)
+            return np.asarray(mask_ops.composite_depth_many(
+                jnp.asarray(depth), rc_b.depth, jnp.ones(n, bool)
+            ))
         out = jnp.asarray(depth)
-        for track in self._active_renderable_tracks():
-            pose = self._instance_render_pose(track, view_w2c)
-            if pose is None:
-                continue
+        for track, pose in tracks:
             rc = track.reconstruction.get_raycast(pose)
             out = mask_ops.composite_depth(out, rc.depth)
         return np.asarray(out)
@@ -282,7 +312,8 @@ class InstanceReconstructor:
                             cam_to_world: Optional[np.ndarray],
                             dyn_slam) -> np.ndarray:
         """Composite instance renders into the static color preview with
-        per-track tints (CompositeInstances, :933-990)."""
+        per-track tints (CompositeInstances, :933-990) — one batched
+        raycast + one merge executable for all visible tracks."""
         import jax.numpy as jnp
 
         view_w2c = (
@@ -290,16 +321,27 @@ class InstanceReconstructor:
             if cam_to_world is not None
             else dyn_slam.get_current_pose()
         )
+        tracks, rc_b = self._batched_track_raycasts(view_w2c)
+        if not tracks:
+            return color
         static_depth = jnp.asarray(
             dyn_slam.static_scene.get_raycast(
                 cam_to_world if cam_to_world is not None else None
             ).depth
         )
         out_color = jnp.asarray(color)
-        for track in self._active_renderable_tracks():
-            pose = self._instance_render_pose(track, view_w2c)
-            if pose is None:
-                continue
+        if rc_b is not None:
+            n = len(tracks)
+            tints = jnp.stack([
+                jnp.asarray(PALETTE[t.id % len(PALETTE)], jnp.float32)
+                for t, _ in tracks
+            ])
+            out_color, _ = mask_ops.composite_color_many(
+                out_color, static_depth, rc_b.color, rc_b.depth, tints,
+                jnp.ones(n, bool),
+            )
+            return np.asarray(out_color)
+        for track, pose in tracks:
             rc = track.reconstruction.get_raycast(pose)
             tint = jnp.asarray(PALETTE[track.id % len(PALETTE)])
             out_color, static_depth = mask_ops.composite_color(
