@@ -118,30 +118,10 @@ def render_frames_dynamic():
 
 
 def detections_from_objid(objid, min_size_px=45):
-    """GT masks -> InstanceDetection list (the MNC-dump role; same mask
-    construction as io/segmentation.build_masks over the dump reader)."""
-    import numpy as np
+    """GT masks -> InstanceDetection list (the MNC-dump role)."""
+    from dynslam_tpu.io.segmentation import detections_from_instance_ids
 
-    from dynslam_tpu.io.segmentation import (
-        BoundingBox, InstanceDetection, build_masks,
-    )
-
-    dets = []
-    for oid in np.unique(objid):
-        if oid <= 0:
-            continue
-        mask = objid == oid
-        if mask.sum() < 16:
-            continue
-        ys, xs = np.nonzero(mask)
-        bbox = BoundingBox(int(xs.min()), int(ys.min()),
-                           int(xs.max()), int(ys.max()))
-        sub = mask[bbox.y0: bbox.y1 + 1, bbox.x0: bbox.x1 + 1]
-        cm, dm, km = build_masks(
-            bbox, sub.astype(np.uint8), min_size_px ** 2
-        )
-        dets.append(InstanceDetection(0.95, 7, cm, dm, km))  # VOC car
-    return dets
+    return detections_from_instance_ids(objid, min_size_px)
 
 
 def main_dynamic():

@@ -202,6 +202,33 @@ def build_masks(
     return copy_mask, delete_mask, conservative_mask
 
 
+def detections_from_instance_ids(
+    objid: np.ndarray,
+    min_size_px: int = 45,
+    score: float = 0.95,
+    class_id: int = 7,
+) -> List["InstanceDetection"]:
+    """Ground-truth instance-id image -> InstanceDetection list (the
+    MNC-dump role for synthetic data; same 3-mask construction as the
+    dump reader). ids <= 0 are background; each positive id becomes one
+    detection with the given VOC class (default 7 = car)."""
+    dets = []
+    for oid in np.unique(objid):
+        if oid <= 0:
+            continue
+        mask = objid == oid
+        if mask.sum() < 16:
+            continue
+        ys, xs = np.nonzero(mask)
+        bbox = BoundingBox(int(xs.min()), int(ys.min()),
+                           int(xs.max()), int(ys.max()))
+        sub = mask[bbox.y0: bbox.y1 + 1, bbox.x0: bbox.x1 + 1]
+        cm, dm, km = build_masks(bbox, sub.astype(np.uint8),
+                                 min_size_px ** 2)
+        dets.append(InstanceDetection(score, class_id, cm, dm, km))
+    return dets
+
+
 class PrecomputedSegmentationProvider(SegmentationProvider):
     """Reads MNC dumps from disk.
     Ref: PrecomputedSegmentationProvider.{h,cpp}."""

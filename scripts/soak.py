@@ -20,7 +20,26 @@ not achievable on a closed loop and is NOT asserted):
     corrupting the map (graceful degradation)
   * while the pool has headroom, drops stay zero
 
+`--dynamic` runs the same recipe through the DYNAMIC pipeline
+(FusedDynamicPipeline) on a loop with RECURRING vehicles: the cars'
+motion is lap-periodic, so each lap they re-enter the view, get tracked
+and reconstructed, then leave for ~120 frames — far beyond the 50-frame
+inactive threshold — so every lap exercises the full track lifecycle:
+associate -> reconstruct (slot acquire) -> reap-on-gap -> prune (slot
+release) -> slot reuse by the next lap's "new" vehicles
+(InstanceTracker.cpp:37-59 + InstanceReconstructor.cpp:315-361 analog).
+Extra assertions in dynamic mode:
+
+  * slot conservation: free slots + live reconstructions == S always
+  * slots cycle: acquired (free count dips) AND released back (returns
+    to full) — reap-on-gap actually runs
+  * recurring vehicles create NEW tracks each lap while active tracks
+    stay bounded (pruning works; no unbounded tracker growth)
+  * the static map stays uncorrupted: block counts bounded by the pool
+    and drops gated exactly as in static mode
+
 Usage: python scripts/soak.py [--frames 1050] [--width 1242 --height 375]
+       python scripts/soak.py --dynamic [--frames 1050]
 """
 
 import argparse
@@ -32,6 +51,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOOP_CACHE = "/tmp/dynslam_soak_loop_v1.npz"
+LOOP_CACHE_DYN = "/tmp/dynslam_soak_loop_dyn_v1.npz"
 
 
 def loop_trajectory(n: int, radius: float = 18.0) -> "np.ndarray":
@@ -82,6 +102,200 @@ def render_loop(n_loop: int, W: int, H: int):
     return left, right
 
 
+def _scaled_intrinsics(W: int, H: int):
+    """KITTI intrinsics scaled to the requested resolution (identical to
+    the stock values at 1242x375; keeps scene content in frame for
+    small smoke-test sizes)."""
+    from dynslam_tpu.config import Intrinsics
+
+    f = 707.0912 * W / 1242.0
+    return Intrinsics(f, f, W / 2.0, 183.1104 * H / 375.0)
+
+
+def render_loop_dynamic(n_loop: int, W: int, H: int):
+    """Loop stereo + GT dynamic-instance ids, LAP-PERIODIC: frame index
+    passed to the renderer is lap-relative, so the cars repeat their
+    drive every lap (recurring vehicles)."""
+    import numpy as np
+
+    from dynslam_tpu.config import StereoCalibration
+    from dynslam_tpu.io.synthetic import SyntheticScene, render_stereo_frame
+
+    if os.path.exists(LOOP_CACHE_DYN):
+        data = np.load(LOOP_CACHE_DYN)
+        if data["left"].shape == (n_loop, H, W):
+            return data["left"], data["right"], data["objid"]
+
+    intr = _scaled_intrinsics(W, H)
+    calib = StereoCalibration(0.537150654273, intr.fx)
+    scene = SyntheticScene.default_scene(with_dynamic=True, seed=23,
+                                         n_dynamic=3)
+    dyn_ids = np.asarray(
+        [i + 1 for i, b in enumerate(scene.boxes) if b.is_dynamic], np.int32
+    )
+    poses = loop_trajectory(n_loop)
+    left, right, objid = [], [], []
+    t0 = time.time()
+    for i in range(n_loop):
+        fr = render_stereo_frame(scene, poses[i], intr, calib, W, H, frame=i)
+        left.append(np.clip(fr["left_gray"] * 255, 0, 255).astype("uint8"))
+        right.append(np.clip(fr["right_gray"] * 255, 0, 255).astype("uint8"))
+        oid = fr["object_id"]
+        objid.append(np.where(np.isin(oid, dyn_ids), oid, 0).astype(np.int16))
+        if i % 10 == 0:
+            print(f"[soak] rendered {i + 1}/{n_loop} ({time.time() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+    left, right, objid = np.stack(left), np.stack(right), np.stack(objid)
+    np.savez_compressed(LOOP_CACHE_DYN, left=left, right=right, objid=objid)
+    return left, right, objid
+
+
+def main_dynamic(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynslam_tpu.config import (DynSlamConfig, InstanceMapParams,
+                                    MapParams, SceneParams,
+                                    StereoCalibration, StereoMatcherParams,
+                                    TrackerParams, VisualOdometryParams,
+                                    VoxelDecayParams)
+    from dynslam_tpu.io.segmentation import detections_from_instance_ids
+    from dynslam_tpu.pipeline.fused_dynamic import FusedDynamicPipeline
+
+    W, H = args.width, args.height
+    left_np, right_np, objid = render_loop_dynamic(args.loop_frames, W, H)
+    rng = np.random.default_rng()
+
+    intr = _scaled_intrinsics(W, H)
+    calib = StereoCalibration(0.537150654273, intr.fx)
+    cfg = DynSlamConfig(
+        frame_width=W, frame_height=H, intrinsics=intr, calibration=calib,
+        dynamic_mode=True,
+        scene=SceneParams(voxel_size_m=0.05, mu_m=0.30),
+        map=MapParams(pool_capacity=2 ** 17, local_dims=(160, 48, 160),
+                      max_new_blocks_per_frame=8192),
+        instance_map=InstanceMapParams(max_objects=4),
+        stereo=StereoMatcherParams(max_disparity=128),
+        vo=VisualOdometryParams(),
+        tracker=TrackerParams(inactive_frame_threshold=args.track_gap,
+                              min_flow_vectors=args.min_flow),
+        decay=VoxelDecayParams(enabled=True, min_decay_age=200,
+                               max_decay_weight=1),
+    )
+    engine = FusedDynamicPipeline(cfg, calib)
+    S = engine.S
+    lap = args.loop_frames
+
+    # lap-frame detections + device mask bit-planes are lap-invariant
+    # (GT ids carry no noise): compute once, reuse every lap — the
+    # precomputed-MNC-dump role
+    dets, masks_dev = [], []
+    for k in range(lap):
+        d = engine.select_detections(
+            detections_from_instance_ids(objid[k]), engine.K
+        )
+        dets.append(d)
+        db, cb = engine.pack_mask_bits(d, H, W)
+        masks_dev.append((jnp.asarray(db), jnp.asarray(cb)))
+    det_frames = sum(1 for d in dets if d)
+    print(f"[soak] lap frames with detections: {det_frames}/{lap}",
+          file=sys.stderr, flush=True)
+
+    lap_stats = []
+    blocks_series = []
+    free_series = []  # per-frame free-slot counts (slot-cycle evidence)
+    t_lap = time.perf_counter()
+
+    for i in range(args.frames):
+        k = i % lap
+        noise = rng.integers(-1, 2, (H, W), dtype=np.int16)
+        lg = jnp.asarray(
+            np.clip(left_np[k].astype(np.int16) + noise, 0, 255), jnp.float32
+        )
+        rg = jnp.asarray(
+            np.clip(right_np[k].astype(np.int16) + noise, 0, 255), jnp.float32
+        )
+        rgb = jnp.broadcast_to(lg.astype(jnp.uint8)[..., None], (H, W, 3))
+
+        # process_frame's deferred tracker pass fetches the PREVIOUS
+        # frame's packed outputs — that fetch IS the pipeline sync
+        # (bench.py --dynamic uses the same protocol)
+        engine.process_frame(lg, rg, rgb, dets[k], masks_dev[k])
+        free_series.append(len(engine._free_slots))
+
+        if (i + 1) % lap == 0:
+            used = engine.get_used_block_count()
+            dropped = engine.get_dropped_allocation_count()
+            live = len(engine.reconstructed_objects())
+            n_tracks = engine.tracker._track_count
+            active = len(engine.tracker.active_tracks)
+            dt = time.perf_counter() - t_lap
+            fps = lap / dt
+            lap_stats.append(dict(
+                lap=i // lap, used=used, dropped=dropped, fps=round(fps, 2),
+                live_objects=live, active_tracks=active,
+                tracks_created=n_tracks, free_slots=len(engine._free_slots),
+            ))
+            blocks_series.append(used)
+            print(f"[soak] lap {i // lap}: {fps:.2f} FPS, {used} blocks, "
+                  f"{dropped} dropped, {live} live objects, "
+                  f"{active} active tracks, {n_tracks} tracks ever, "
+                  f"{len(engine._free_slots)}/{S} slots free",
+                  file=sys.stderr, flush=True)
+            t_lap = time.perf_counter()
+
+    engine.finalize()
+
+    # ---- assertions (module docstring: the dynamic long-run contract) ----
+    ok = True
+    msgs = []
+    pool = cfg.map.pool_capacity
+    if blocks_series and max(blocks_series) > pool:
+        ok = False
+        msgs.append(f"static used blocks exceeded pool: {max(blocks_series)}")
+    saturated = any(b >= pool - cfg.map.max_new_blocks_per_frame
+                    for b in blocks_series)
+    if lap_stats[-1]["dropped"] != 0 and not saturated:
+        ok = False
+        msgs.append(f"dropped allocations with pool headroom: "
+                    f"{lap_stats[-1]['dropped']}")
+    if len(lap_stats) >= 3:
+        fps2, fpsN = lap_stats[1]["fps"], lap_stats[-1]["fps"]
+        if fpsN < 0.75 * fps2:
+            ok = False
+            msgs.append(f"FPS decayed {fps2} -> {fpsN}")
+    # slot conservation: nothing leaked
+    live_slots = sum(
+        1 for t in engine.tracker.active_tracks.values()
+        if t.has_reconstruction()
+    )
+    if len(engine._free_slots) + live_slots != S:
+        ok = False
+        msgs.append(f"slot leak: {len(engine._free_slots)} free + "
+                    f"{live_slots} live != {S}")
+    # slots must CYCLE: acquired at some point, and released back
+    if min(free_series) >= S:
+        ok = False
+        msgs.append("no slot was ever acquired (no reconstruction ran)")
+    if max(free_series[len(free_series) // 2:]) < S:
+        ok = False
+        msgs.append("slots never fully released (reap-on-gap/prune broken)")
+    # recurring vehicles: later laps create NEW tracks, active set bounded
+    if len(lap_stats) >= 2:
+        if lap_stats[-1]["tracks_created"] <= lap_stats[0]["tracks_created"]:
+            ok = False
+            msgs.append("no new tracks after lap 0 (vehicles not recurring)")
+        max_active = max(s["active_tracks"] for s in lap_stats)
+        if max_active > 4 * S:
+            ok = False
+            msgs.append(f"active tracks unbounded: {max_active}")
+    print(json.dumps({
+        "metric": "soak_frames_dynamic", "frames": args.frames,
+        "laps": lap_stats, "ok": ok, "failures": msgs,
+    }))
+    sys.exit(0 if ok else 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1050)
@@ -89,12 +303,25 @@ def main():
     ap.add_argument("--width", type=int, default=1242)
     ap.add_argument("--height", type=int, default=375)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="run the dynamic-object pipeline soak")
+    ap.add_argument("--track_gap", type=int, default=50,
+                    help="tracker inactive-frame threshold (reference "
+                         "default 50; lower only for tiny smoke laps)")
+    ap.add_argument("--min_flow", type=int, default=18,
+                    help="min masked flow vectors for object motion "
+                         "(reference default 18; lower only for tiny "
+                         "smoke resolutions)")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.dynamic:
+        main_dynamic(args)
+        return
 
     import jax
     import jax.numpy as jnp
