@@ -43,6 +43,7 @@ precomputed motion — bit-identical state-machine semantics (Track.cpp:
 from __future__ import annotations
 
 import dataclasses
+import threading
 from functools import partial
 from typing import Dict, List, NamedTuple, Optional
 
@@ -552,6 +553,7 @@ class FusedDynamicPipeline:
         #: dispatch metadata for the deferred tracker pass:
         #: (frame_no, [(mask_slot_j, track), ...], {track_id: pending_j})
         self._dispatch_meta = None
+        self._packed_prefetch = None
         self._reset_routing()
         self._dropped_detections = 0
 
@@ -763,6 +765,26 @@ class FusedDynamicPipeline:
         self._dispatch_meta = (frame_no, assoc, pending_j)
         self._reset_routing()
         self.current_frame_no += 1
+        self._start_packed_prefetch()
+
+    def _start_packed_prefetch(self) -> None:
+        """Fetch this dispatch's packed vector on a background thread,
+        IMMEDIATELY after dispatch. Through the TPU relay a fetch is one
+        ~35 ms round trip that otherwise lands on the critical path:
+        _finish_prev (start of the NEXT process_frame) must block on it
+        before the next dispatch, leaving the device idle for the full
+        round trip every frame. Issuing the RPC now lets it ride along
+        the device's compute of this very frame; _finish_prev then joins
+        an already-arrived value."""
+        out = self.last_outputs.packed
+        holder: Dict[str, np.ndarray] = {}
+
+        def fetch():
+            holder["v"] = np.asarray(out)
+
+        th = threading.Thread(target=fetch, daemon=True)
+        th.start()
+        self._packed_prefetch = (th, holder)
 
     def _track_of_frame(self, tf: TrackFrame) -> Track:
         for track in self.tracker.active_tracks.values():
@@ -779,7 +801,13 @@ class FusedDynamicPipeline:
         fusion into the NEXT dispatch."""
         if self.last_outputs is None or self._dispatch_meta is None:
             return
-        packed = np.asarray(self.last_outputs.packed)
+        if self._packed_prefetch is not None:
+            th, holder = self._packed_prefetch
+            th.join()
+            self._packed_prefetch = None
+            packed = holder["v"]
+        else:
+            packed = np.asarray(self.last_outputs.packed)
         frame_no, assoc, pending_j = self._dispatch_meta
         self._dispatch_meta = None
         L = self._layout
