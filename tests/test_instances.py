@@ -218,3 +218,38 @@ class TestSilhouetteOps:
         assert od[0, 0] == 1.0 and od[0, 1] == 1.0
         assert oc[0, 0, 0] > 100  # tinted red instance in front
         assert (oc[0, 1] == 100).all()  # static wins behind
+
+
+class TestDetectionsFromInstanceIds:
+    """io/segmentation.detections_from_instance_ids: the GT-mask ->
+    InstanceDetection path used by bench --dynamic and the dynamic soak
+    (the precomputed-MNC-dump role for synthetic data)."""
+
+    def test_two_objects_masks_and_bboxes(self):
+        from dynslam_tpu.io.segmentation import detections_from_instance_ids
+
+        objid = np.zeros((60, 80), np.int16)
+        objid[10:30, 5:25] = 3   # 20x20 car
+        objid[40:55, 50:75] = 7  # 15x25 car
+        dets = detections_from_instance_ids(objid, min_size_px=8)
+        assert len(dets) == 2
+        for d in dets:
+            assert d.class_id == 7 and d.is_possibly_dynamic()
+        d0 = next(d for d in dets if d.copy_mask.bbox.x0 == 5)
+        assert (d0.copy_mask.bbox.y0, d0.copy_mask.bbox.x1,
+                d0.copy_mask.bbox.y1) == (10, 24, 29)
+        # full-frame copy mask reproduces the instance-id region exactly
+        full = d0.copy_mask.to_full_frame(60, 80)
+        assert (full.astype(bool) == (objid == 3)).all()
+        # delete mask is the reference's grown cut mask: a superset
+        dfull = d0.delete_mask.to_full_frame(60, 80).astype(bool)
+        assert (dfull & (objid == 3)).sum() == (objid == 3).sum()
+        assert dfull.sum() >= full.sum()
+
+    def test_background_and_tiny_blobs_ignored(self):
+        from dynslam_tpu.io.segmentation import detections_from_instance_ids
+
+        objid = np.zeros((40, 40), np.int16)
+        objid[0:2, 0:2] = 5      # 4 px — below the 16 px floor
+        objid[20:22, 20:22] = -2  # negative ids are background
+        assert detections_from_instance_ids(objid) == []
