@@ -207,6 +207,7 @@ def _fuse_one_instance(
     static_argnames=(
         "cfg", "icfg", "stereo_params", "vo_params", "obj_params",
         "use_pallas", "decay_enabled", "inst_decay", "K", "S",
+        "profile_skip",
     ),
     donate_argnames=("carry",),
 )
@@ -235,8 +236,14 @@ def fused_dynamic_step(
     intr_vec: jnp.ndarray,
     bf: jnp.ndarray,
     base_key: jnp.ndarray,
+    profile_skip: tuple = (),
 ):
-    """One full dynamic frame: returns (carry', FusedDynOutputs)."""
+    """One full dynamic frame: returns (carry', FusedDynOutputs).
+
+    `profile_skip` (cost attribution only, scripts/profile_dynamic.py):
+    stage names traced OUT of the executable — "obj_ransac" (per-mask
+    motion), "cut" (silhouette cut + pending-view copies), "instances"
+    (pooled per-object fusion). Never set in production paths."""
     h, w = left_gray.shape
     RL, _ = route_layout(K, S)
 
@@ -301,12 +308,18 @@ def fused_dynamic_step(
         )
         return est_j.tr, est_j.success, est_j.num_inliers, count_j
 
-    obj_keys = jax.random.split(
-        jax.random.fold_in(base_key, carry.frame_idx + (1 << 20)), K
-    )
-    obj_tr, obj_success, obj_inliers, obj_count = jax.vmap(per_mask)(
-        jnp.arange(K), obj_keys
-    )
+    if "obj_ransac" in profile_skip:
+        obj_tr = jnp.zeros((K, 6), jnp.float32)
+        obj_success = jnp.zeros((K,), bool)
+        obj_inliers = jnp.zeros((K,), jnp.int32)
+        obj_count = jnp.zeros((K,), jnp.int32)
+    else:
+        obj_keys = jax.random.split(
+            jax.random.fold_in(base_key, carry.frame_idx + (1 << 20)), K
+        )
+        obj_tr, obj_success, obj_inliers, obj_count = jax.vmap(per_mask)(
+            jnp.arange(K), obj_keys
+        )
 
     # --- silhouette processing (cut/remove on the device view) ------------
     jidx = jnp.arange(K, dtype=jnp.int32)
@@ -323,31 +336,40 @@ def fused_dynamic_step(
     # (the staged path cuts sequentially, so a later track's copy mask
     # reads a view earlier tracks already deleted from; overlapping car
     # masks are the only case where that differs)
-    copy_sel = (
-        ((copy_bits[None] >> jidx[:, None, None]) & 1) == 1
-    ) & (action == ACTION_CUT)[:, None, None]  # (K, H, W)
-    new_pending_depth = jnp.where(copy_sel, depth_m[None], 0.0)
-    new_pending_rgb = jnp.where(
-        copy_sel[..., None], rgb[None], jnp.uint8(0)
-    )
+    if "cut" in profile_skip:
+        depth_cut, rgb_cut = depth_m, rgb
+        new_pending_depth = carry.pending_depth
+        new_pending_rgb = carry.pending_rgb
+    else:
+        copy_sel = (
+            ((copy_bits[None] >> jidx[:, None, None]) & 1) == 1
+        ) & (action == ACTION_CUT)[:, None, None]  # (K, H, W)
+        new_pending_depth = jnp.where(copy_sel, depth_m[None], 0.0)
+        new_pending_rgb = jnp.where(
+            copy_sel[..., None], rgb[None], jnp.uint8(0)
+        )
 
     # --- fuse LAST frame's pending views into the pooled volumes ---------
     # vmapped over the S slots: 6.3x faster than an unrolled slot loop on
     # TPU (140.7 -> 22.3 ms standalone; batches the allocate scatters and
     # the Pallas fusion grids) with bit-identical pool contents, verified
     # on hardware
-    fresh = tsdf.create_state(icfg)
-    src_c = jnp.clip(slot_src, 0, K - 1)
-    inst, inst_fidx, inst_nvox = jax.vmap(
-        lambda st, fx, d, rgb, p, a, rs, rw: _fuse_one_instance(
-            icfg, use_pallas, fresh, st, fx, d, rgb, p, a, rs, rw,
-            inst_decay, max_decay_weight, min_decay_age,
+    if "instances" in profile_skip:
+        inst, inst_fidx = carry.inst, carry.inst_fidx
+        inst_nvox = jnp.zeros((S,), jnp.int32)
+    else:
+        fresh = tsdf.create_state(icfg)
+        src_c = jnp.clip(slot_src, 0, K - 1)
+        inst, inst_fidx, inst_nvox = jax.vmap(
+            lambda st, fx, d, rgb, p, a, rs, rw: _fuse_one_instance(
+                icfg, use_pallas, fresh, st, fx, d, rgb, p, a, rs, rw,
+                inst_decay, max_decay_weight, min_decay_age,
+            )
+        )(
+            carry.inst, carry.inst_fidx,
+            carry.pending_depth[src_c], carry.pending_rgb[src_c],
+            fuse_pose, slot_src >= 0, slot_reset, slot_reap_w,
         )
-    )(
-        carry.inst, carry.inst_fidx,
-        carry.pending_depth[src_c], carry.pending_rgb[src_c],
-        fuse_pose, slot_src >= 0, slot_reset, slot_reap_w,
-    )
 
     # --- static mapping on the CUT view (allocate+fuse+raycast+decay) -----
     R = pose_w2c[:3, :3]
@@ -545,6 +567,8 @@ class FusedDynamicPipeline:
         self.base_key = jax.random.PRNGKey(seed)
 
         self.tracker = InstanceTracker(config.tracker)
+        #: cost-attribution knob (scripts/profile_dynamic.py only)
+        self.profile_skip: tuple = ()
         self._free_slots: List[int] = list(range(self.S))
         self.carry: Optional[FusedDynCarry] = None
         self.last_outputs: Optional[FusedDynOutputs] = None
@@ -761,6 +785,7 @@ class FusedDynamicPipeline:
             delete_bits, copy_bits, jnp.asarray(route),
             self.calib_vec, self.intr_vec, self.bf,
             self.base_key,
+            profile_skip=self.profile_skip,
         )
         self._dispatch_meta = (frame_no, assoc, pending_j)
         self._reset_routing()
