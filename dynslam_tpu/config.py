@@ -136,6 +136,15 @@ class InstanceMapParams:
     max_new_blocks_per_frame: int = 1024
     raycast_coarse_steps: int = 20
     raycast_fine_steps: int = 16
+    #: fused-pipeline per-object fusion window (rows, cols), clamped to
+    #: the frame. Cut-out views are zero outside the object mask, so
+    #: fusing from a bbox-centred crop allocates the identical block set
+    #: and fuses identical voxels up to float rounding of borderline
+    #: pixels whenever the mask fits the crop (4-aligned origins keep
+    #: the stride-4 allocation phase) at a fraction of the full-frame
+    #: fusion cost; oversized masks lose their out-of-crop pixels for
+    #: that frame.
+    fusion_crop: Tuple[int, int] = (256, 512)
 
 
 @dataclass(frozen=True)

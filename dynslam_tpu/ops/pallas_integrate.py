@@ -459,6 +459,7 @@ def integrate_pallas(
     world_to_cam: jnp.ndarray,  # (4, 4)
     frame_idx: jnp.ndarray,
     interpret: bool = False,
+    intr4: jnp.ndarray = None,  # (4,) fx fy cx cy override (crop fusion)
 ) -> T.TsdfState:
     """Drop-in replacement for ops.tsdf.integrate (same update rule).
     Two kernel tiers, zero per-element gathers: far blocks (footprint
@@ -519,7 +520,10 @@ def integrate_pallas(
     )
 
     pose34 = world_to_cam[:3, :].astype(jnp.float32)
-    intr = jnp.asarray([[cfg.fx, cfg.fy, cfg.cx, cfg.cy]], jnp.float32)
+    if intr4 is None:
+        intr = jnp.asarray([[cfg.fx, cfg.fy, cfg.cx, cfg.cy]], jnp.float32)
+    else:
+        intr = intr4.astype(jnp.float32).reshape(1, 4)
     vox = jnp.asarray(
         T._VOX_OFFSETS_NP.T.reshape(3, 4, 128), jnp.float32
     )

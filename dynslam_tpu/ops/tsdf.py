@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -271,9 +271,16 @@ def allocate(
     depth_m: jnp.ndarray,  # (H, W) float, 0 = invalid
     cam_to_world: jnp.ndarray,
     frame_idx: jnp.ndarray,
+    intr4: Optional[jnp.ndarray] = None,  # (4,) fx fy cx cy override
 ):
     """Allocate blocks touched by the depth map's truncation band.
-    Returns (state, grid, stats) with stats = (n_new, n_dropped)."""
+    Returns (state, grid, stats) with stats = (n_new, n_dropped).
+    `intr4` overrides the config intrinsics (crop-window fusion: the
+    principal point shifts by the crop origin)."""
+    fx, fy, cx, cy = (
+        (cfg.fx, cfg.fy, cfg.cx, cfg.cy) if intr4 is None
+        else (intr4[0], intr4[1], intr4[2], intr4[3])
+    )
     dx, dy, dz = cfg.local_dims
     n_cells = dx * dy * dz
 
@@ -289,8 +296,8 @@ def allocate(
     valid_px = (depth_m >= cfg.min_depth) & (depth_m <= cfg.max_depth)
 
     # sample the band [d - mu, d + mu] along each pixel ray
-    ray_x = (uu - cfg.cx) / cfg.fx
-    ray_y = (vv - cfg.cy) / cfg.fy
+    ray_x = (uu - cx) / fx
+    ray_y = (vv - cy) / fy
     R, t = cam_to_world[:3, :3], cam_to_world[:3, 3]
 
     n_samples = cfg.alloc_band_samples
@@ -359,15 +366,20 @@ def visible_blocks(
     grid: jnp.ndarray,
     origin: jnp.ndarray,
     world_to_cam: jnp.ndarray,
+    intr4: Optional[jnp.ndarray] = None,  # (4,) fx fy cx cy override
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pool slots whose block center projects into the (margin-padded)
     camera frustum. Returns (slots (V,), mask (V,)) fixed-size."""
+    fx, fy, cx, cy = (
+        (cfg.fx, cfg.fy, cfg.cx, cfg.cy) if intr4 is None
+        else (intr4[0], intr4[1], intr4[2], intr4[3])
+    )
     centers = (state.block_coords.astype(jnp.float32) + 0.5) * cfg.block_size
     pc = centers @ world_to_cam[:3, :3].T + world_to_cam[:3, 3]
     z = pc[:, 2]
-    margin_px = BLOCK * 1.8 / jnp.maximum(z, 0.3) * cfg.fx * cfg.voxel_size
-    u = pc[:, 0] / jnp.maximum(z, 0.3) * cfg.fx + cfg.cx
-    v = pc[:, 1] / jnp.maximum(z, 0.3) * cfg.fy + cfg.cy
+    margin_px = BLOCK * 1.8 / jnp.maximum(z, 0.3) * fx * cfg.voxel_size
+    u = pc[:, 0] / jnp.maximum(z, 0.3) * fx + cx
+    v = pc[:, 1] / jnp.maximum(z, 0.3) * fy + cy
     half_diag = cfg.block_size  # generous
     in_frustum = (
         (z > cfg.min_depth - half_diag)
@@ -413,8 +425,13 @@ def integrate(
     depth_m: jnp.ndarray,  # (H, W) f32, 0 invalid
     world_to_cam: jnp.ndarray,
     frame_idx: jnp.ndarray,
+    intr4: Optional[jnp.ndarray] = None,  # (4,) fx fy cx cy override
 ) -> TsdfState:
     """Fuse one view into the visible blocks (IntegrateIntoScene)."""
+    fx, fy, cx, cy = (
+        (cfg.fx, cfg.fy, cfg.cx, cfg.cy) if intr4 is None
+        else (intr4[0], intr4[1], intr4[2], intr4[3])
+    )
     slots_c = jnp.clip(slots, 0, cfg.pool_capacity - 1)
 
     coords = state.block_coords[slots_c]  # (V, 3)
@@ -428,13 +445,14 @@ def integrate(
     pc = pw @ R.T + t
     z = pc[..., 2]
     safe_z = jnp.maximum(z, 1e-3)
-    u = pc[..., 0] / safe_z * cfg.fx + cfg.cx
-    v = pc[..., 1] / safe_z * cfg.fy + cfg.cy
+    u = pc[..., 0] / safe_z * fx + cx
+    v = pc[..., 1] / safe_z * fy + cy
 
-    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cfg.width - 1)
-    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cfg.height - 1)
+    img_h, img_w = depth_m.shape
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, img_w - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, img_h - 1)
     in_img = (
-        (u >= 0) & (u <= cfg.width - 1) & (v >= 0) & (v <= cfg.height - 1)
+        (u >= 0) & (u <= img_w - 1) & (v >= 0) & (v <= img_h - 1)
         & (z > 1e-3)
     )
     # ONE two-lane pixel fetch instead of separate depth + rgb gathers:

@@ -97,9 +97,12 @@ class FusedDynCarry(NamedTuple):
     #: stacked per-object volumes, leaf shapes (S, ...)
     inst: tsdf.TsdfState
     inst_fidx: jnp.ndarray  # (S,) i32 per-slot fusion clock (decay age)
-    #: views cut THIS frame, consumed (fused) by the NEXT dispatch
-    pending_depth: jnp.ndarray  # (K, H, W) f32
-    pending_rgb: jnp.ndarray  # (K, H, W, 3) uint8
+    #: views cut THIS frame, consumed (fused) by the NEXT dispatch —
+    #: bbox-centred CROPS (config.instance_map.fusion_crop), zero
+    #: outside the copy mask, with their 4-aligned frame origins
+    pending_depth: jnp.ndarray  # (K, CH, CW) f32
+    pending_rgb: jnp.ndarray  # (K, CH, CW, 3) uint8
+    pending_org: jnp.ndarray  # (K, 2) i32 crop origin (u0, v0)
 
 
 class FusedDynOutputs(NamedTuple):
@@ -160,14 +163,16 @@ def route_layout(K: int, S: int):
 
 
 def _fuse_one_instance(
-    icfg, use_pallas, fresh, st, fidx, d, rgb, w2c, act, reset, reap_w,
-    inst_decay, max_decay_weight, min_decay_age,
+    icfg, use_pallas, fresh, st, fidx, d, rgb, org_uv, intr_vec, w2c, act,
+    reset, reap_w, inst_decay, max_decay_weight, min_decay_age,
 ):
     """Reset/reap/fuse one pooled object volume (the per-slot body of the
     staged InstanceVolumePool._fuse_batch, instances/volume_pool.py:36-58,
     plus the reap path). Inactive slots come back bit-identical at
     near-zero cost: zero depth allocates nothing and the count-gated
-    Pallas fusion skips every grid step."""
+    Pallas fusion skips every grid step. The view is a bbox-centred crop
+    (d: (CH, CW)); `org_uv` shifts the principal point so rays match the
+    full frame's."""
     st = _tree_select(reset, fresh, st)
     fidx = jnp.where(reset, 0, fidx)
     # stale-track aggressive decay (Track::ReapReconstruction,
@@ -178,6 +183,11 @@ def _fuse_one_instance(
     st = _tree_select(reap_w > 0, reaped, st)
 
     d = jnp.where(act, d, 0.0)
+    intr4 = jnp.asarray(
+        [intr_vec[0], intr_vec[1],
+         intr_vec[2] - org_uv[0].astype(jnp.float32),
+         intr_vec[3] - org_uv[1].astype(jnp.float32)], jnp.float32,
+    )
     R = w2c[:3, :3]
     t = w2c[:3, 3]
     c2w = jnp.eye(4, dtype=jnp.float32)
@@ -185,14 +195,20 @@ def _fuse_one_instance(
     c2w = c2w.at[:3, 3].set(-R.T @ t)
     origin = tsdf.compute_origin(icfg, c2w)
     grid = tsdf.build_local_grid(icfg, st, origin)
-    st2, grid, _ = tsdf.allocate(icfg, st, grid, origin, d, c2w, fidx)
-    slots, mask = tsdf.visible_blocks(icfg, st2, grid, origin, w2c)
+    st2, grid, _ = tsdf.allocate(
+        icfg, st, grid, origin, d, c2w, fidx, intr4=intr4
+    )
+    slots, mask = tsdf.visible_blocks(
+        icfg, st2, grid, origin, w2c, intr4=intr4
+    )
     if use_pallas:
         from dynslam_tpu.ops.pallas_integrate import integrate_pallas
 
-        st2 = integrate_pallas(icfg, st2, slots, mask & act, rgb, d, w2c, fidx)
+        st2 = integrate_pallas(icfg, st2, slots, mask & act, rgb, d, w2c,
+                               fidx, intr4=intr4)
     else:
-        st2 = tsdf.integrate(icfg, st2, slots, mask & act, rgb, d, w2c, fidx)
+        st2 = tsdf.integrate(icfg, st2, slots, mask & act, rgb, d, w2c,
+                             fidx, intr4=intr4)
     if inst_decay:
         st2, _ = tsdf.decay(
             icfg, st2, fidx + 1, max_decay_weight, min_decay_age
@@ -340,14 +356,45 @@ def fused_dynamic_step(
         depth_cut, rgb_cut = depth_m, rgb
         new_pending_depth = carry.pending_depth
         new_pending_rgb = carry.pending_rgb
+        new_pending_org = carry.pending_org
     else:
-        copy_sel = (
-            ((copy_bits[None] >> jidx[:, None, None]) & 1) == 1
-        ) & (action == ACTION_CUT)[:, None, None]  # (K, H, W)
-        new_pending_depth = jnp.where(copy_sel, depth_m[None], 0.0)
-        new_pending_rgb = jnp.where(
-            copy_sel[..., None], rgb[None], jnp.uint8(0)
-        )
+        # bbox-centred fusion crops (CH, CW): cut views are zero outside
+        # the copy mask, so a crop covering the bbox loses nothing; the
+        # 4-aligned origin keeps allocate's stride-4 pixel phase, so
+        # crop fusion matches full-frame fusion up to float rounding of
+        # borderline pixels for masks that fit the crop
+        CH = carry.pending_depth.shape[1]
+        CW = carry.pending_depth.shape[2]
+        cbits_i = copy_bits.astype(jnp.int32)
+
+        def crop_one(j):
+            bb = copy_bbox[j]
+            u0 = jnp.clip(
+                ((bb[0] + bb[2]) * 0.5).astype(jnp.int32) - CW // 2,
+                0, w - CW,
+            )
+            v0 = jnp.clip(
+                ((bb[1] + bb[3]) * 0.5).astype(jnp.int32) - CH // 2,
+                0, h - CH,
+            )
+            u0 = (u0 // 4) * 4
+            v0 = (v0 // 4) * 4
+            dpc = jax.lax.dynamic_slice(depth_m, (v0, u0), (CH, CW))
+            rgbc = jax.lax.dynamic_slice(rgb, (v0, u0, 0), (CH, CW, 3))
+            bitc = jax.lax.dynamic_slice(cbits_i, (v0, u0), (CH, CW))
+            # NOTE: every crop reads the PRISTINE frame (the staged path
+            # cuts sequentially, so a later track's copy mask reads a
+            # view earlier tracks already deleted from; overlapping car
+            # masks are the only case where that differs)
+            selc = (((bitc >> j) & 1) == 1) & (action[j] == ACTION_CUT)
+            return (
+                jnp.where(selc, dpc, 0.0),
+                jnp.where(selc[..., None], rgbc, jnp.uint8(0)),
+                jnp.stack([u0, v0]),
+            )
+
+        new_pending_depth, new_pending_rgb, new_pending_org = \
+            jax.vmap(crop_one)(jidx)
 
     # --- fuse LAST frame's pending views into the pooled volumes ---------
     # vmapped over the S slots: 6.3x faster than an unrolled slot loop on
@@ -361,13 +408,14 @@ def fused_dynamic_step(
         fresh = tsdf.create_state(icfg)
         src_c = jnp.clip(slot_src, 0, K - 1)
         inst, inst_fidx, inst_nvox = jax.vmap(
-            lambda st, fx, d, rgb, p, a, rs, rw: _fuse_one_instance(
-                icfg, use_pallas, fresh, st, fx, d, rgb, p, a, rs, rw,
-                inst_decay, max_decay_weight, min_decay_age,
+            lambda st, fx, d, rgb, o, p, a, rs, rw: _fuse_one_instance(
+                icfg, use_pallas, fresh, st, fx, d, rgb, o, intr_vec, p,
+                a, rs, rw, inst_decay, max_decay_weight, min_decay_age,
             )
         )(
             carry.inst, carry.inst_fidx,
             carry.pending_depth[src_c], carry.pending_rgb[src_c],
+            carry.pending_org[src_c],
             fuse_pose, slot_src >= 0, slot_reset, slot_reap_w,
         )
 
@@ -434,6 +482,7 @@ def fused_dynamic_step(
         inst_fidx=inst_fidx,
         pending_depth=new_pending_depth,
         pending_rgb=new_pending_rgb,
+        pending_org=new_pending_org,
     )
     sync = (
         rc.depth[::64, ::64].sum()
@@ -543,6 +592,14 @@ class FusedDynamicPipeline:
             cx=config.intrinsics.cx,
             cy=config.intrinsics.cy,
         )
+        #: fusion variant of the instance config: frame dims = the crop
+        #: (visible_blocks' frustum test runs in crop pixel space); the
+        #: full-frame self.icfg stays the render/preview config
+        self.crop_h = min(imp.fusion_crop[0], config.frame_height)
+        self.crop_w = min(imp.fusion_crop[1], config.frame_width)
+        self.icfg_fuse = dataclasses.replace(
+            self.icfg, width=self.crop_w, height=self.crop_h
+        )
         self.stereo_params = config.stereo
         self.vo_params = config.vo
         self.obj_params = dataclasses.replace(
@@ -618,8 +675,13 @@ class FusedDynamicPipeline:
             prev_rc_hit=jnp.zeros((h, w), bool),
             inst=inst,
             inst_fidx=jnp.zeros(self.S, jnp.int32),
-            pending_depth=jnp.zeros((self.K, h, w), jnp.float32),
-            pending_rgb=jnp.zeros((self.K, h, w, 3), jnp.uint8),
+            pending_depth=jnp.zeros(
+                (self.K, self.crop_h, self.crop_w), jnp.float32
+            ),
+            pending_rgb=jnp.zeros(
+                (self.K, self.crop_h, self.crop_w, 3), jnp.uint8
+            ),
+            pending_org=jnp.zeros((self.K, 2), jnp.int32),
         )
 
     # ------------------------------------------------------------------
@@ -775,7 +837,7 @@ class FusedDynamicPipeline:
         put("min_decay_age", self.decay_params.min_decay_age)
 
         self.carry, self.last_outputs = fused_dynamic_step(
-            self.cfg, self.icfg, self.stereo_params, self.vo_params,
+            self.cfg, self.icfg_fuse, self.stereo_params, self.vo_params,
             self.obj_params, self.use_pallas,
             self.decay_params.enabled
             and frame_no >= int(self.decay_params.min_decay_age),

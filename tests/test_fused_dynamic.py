@@ -131,3 +131,149 @@ class TestFusedDynamic:
         vol_c2w = np.linalg.inv(chain)
         rc = fused.raycast_instance(t.reconstruction.slot, vol_c2w)
         assert (np.asarray(rc.depth) > 0).sum() > 50
+
+
+class TestCropFusion:
+    """Bbox-crop instance fusion (config.instance_map.fusion_crop): with
+    a 4-aligned crop origin covering the mask, fusing the crop with a
+    shifted principal point allocates the identical block set and fuses
+    identical voxels up to float-reassociation rounding of borderline
+    pixels (cut views are zero outside the mask; stride-4 allocation
+    keeps its pixel phase)."""
+
+    def _cfg(self, w, h):
+        import dataclasses
+
+        from dynslam_tpu.ops import tsdf
+
+        return tsdf.TsdfConfig(
+            pool_capacity=512, local_dims=(24, 16, 32), max_new_blocks=256,
+            max_visible_blocks=256, voxel_size=0.05, mu=0.3,
+            max_weight=100.0, min_depth=0.5, max_depth=20.0,
+            use_depth_weighting=False, raycast_coarse_steps=8,
+            raycast_fine_steps=8, width=w, height=h,
+            fx=120.0, fy=120.0, cx=w / 2.0, cy=h / 2.0,
+        ), dataclasses
+
+    def test_crop_fusion_bit_identical_to_full_frame(self):
+        import jax.numpy as jnp
+
+        from dynslam_tpu.ops import tsdf
+
+        W, H = 320, 160
+        CH, CW = 64, 128
+        cfg, dataclasses = self._cfg(W, H)
+        cfg_crop = dataclasses.replace(cfg, width=CW, height=CH)
+
+        # a masked "car" view: depth only inside a blob, zero elsewhere
+        depth = np.zeros((H, W), np.float32)
+        rng = np.random.default_rng(3)
+        depth[70:110, 180:260] = 6.0 + 0.3 * rng.random((40, 80))
+        rgb = np.zeros((H, W, 3), np.uint8)
+        rgb[70:110, 180:260] = rng.integers(0, 255, (40, 80, 3))
+        w2c = np.eye(4, dtype=np.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        fidx = jnp.int32(1)
+
+        def fuse(cfg_f, d, im, intr4):
+            st = tsdf.create_state(cfg_f)
+            org = tsdf.compute_origin(cfg_f, jnp.asarray(c2w))
+            grid = tsdf.build_local_grid(cfg_f, st, org)
+            st, grid, _ = tsdf.allocate(
+                cfg_f, st, grid, org, jnp.asarray(d), jnp.asarray(c2w),
+                fidx, intr4=intr4,
+            )
+            slots, mask = tsdf.visible_blocks(
+                cfg_f, st, grid, org, jnp.asarray(w2c), intr4=intr4
+            )
+            return tsdf.integrate(
+                cfg_f, st, slots, mask, jnp.asarray(im), jnp.asarray(d),
+                jnp.asarray(w2c), fidx, intr4=intr4,
+            )
+
+        full = fuse(cfg, depth, rgb, None)
+        # 4-aligned crop covering the blob (rows 70:110, cols 180:260)
+        u0, v0 = 168, 60
+        crop_d = depth[v0: v0 + CH, u0: u0 + CW]
+        crop_im = rgb[v0: v0 + CH, u0: u0 + CW]
+        intr4 = jnp.asarray(
+            [cfg.fx, cfg.fy, cfg.cx - u0, cfg.cy - v0], jnp.float32
+        )
+        crop = fuse(cfg_crop, crop_d, crop_im, intr4)
+
+        n_full = int(tsdf.memory_stats(cfg, full)[0])
+        assert n_full > 10
+        assert int(tsdf.memory_stats(cfg_crop, crop)[0]) == n_full
+        # pool contents bit-identical (same slot order: same scan order)
+        assert (np.asarray(full.tsdf_w) == np.asarray(crop.tsdf_w)).all()
+        assert (np.asarray(full.color) == np.asarray(crop.color)).all()
+        assert (
+            np.asarray(full.block_coords) == np.asarray(crop.block_coords)
+        ).all()
+
+    def test_pipeline_small_crop_matches_full_crop(self, seq):
+        """End-to-end: the same sequence through a (64, 128)-crop
+        pipeline reconstructs the identical instance volume as the
+        full-frame-crop one (masks fit the small crop)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from dynslam_tpu.ops import depth as depth_ops
+        from dynslam_tpu.pipeline.builder import build_dynslam
+
+        def run(crop):
+            cfg = dynamic_config()
+            dyn2, inp = build_dynslam(seq, cfg, with_instances=True,
+                                      min_detection_size_px=8)
+            cfg = dyn2.config
+            if crop is not None:
+                cfg = dataclasses.replace(
+                    cfg, instance_map=dataclasses.replace(
+                        cfg.instance_map, fusion_crop=crop
+                    )
+                )
+            segp = PrecomputedSegmentationProvider(
+                seq + "/seg_image_2/mnc", min_detection_size_px=8
+            )
+            pipe = FusedDynamicPipeline(cfg, cfg.calibration,
+                                        use_pallas=False)
+            while inp.has_more_images():
+                inp.read_next_frame()
+                rgb, _ = inp.get_images()
+                right_rgb = inp.get_stereo_color()[1]
+                lg = np.asarray(depth_ops.rgb_to_gray(rgb))
+                rg = np.asarray(depth_ops.rgb_to_gray(right_rgb))
+                dets = segp.segment_frame(rgb).instance_detections
+                pipe.process_frame(lg, rg, rgb, dets)
+            pipe.finalize()
+            return pipe
+
+        small = run((64, 128))
+        assert small.crop_h == 64 and small.crop_w == 128
+        big = run(None)  # default crop >= frame -> full-frame fusion
+        t_s = list(small.tracker.active_tracks.values())[0]
+        t_b = list(big.tracker.active_tracks.values())[0]
+        assert t_s.has_reconstruction() and t_b.has_reconstruction()
+        st_s = t_s.reconstruction.state
+        st_b = t_b.reconstruction.state
+        # identical allocation (same blocks, same count) ...
+        n_s = t_s.reconstruction.get_used_block_count()
+        assert n_s == t_b.reconstruction.get_used_block_count() > 50
+        coords_s = {tuple(c) for c, v in zip(
+            np.asarray(st_s.block_coords), np.asarray(st_s.valid)) if v}
+        coords_b = {tuple(c) for c, v in zip(
+            np.asarray(st_b.block_coords), np.asarray(st_b.valid)) if v}
+        assert coords_s == coords_b
+        # ... and voxel-identical contents up to float reassociation:
+        # the shifted principal point changes `x/z*fx + cx` rounding for
+        # borderline pixels, so allow a few boundary blocks to differ
+        slot_b = {tuple(c): i for i, c in enumerate(
+            np.asarray(st_b.block_coords)) if np.asarray(st_b.valid)[i]}
+        ws, wb = np.asarray(st_s.tsdf_w), np.asarray(st_b.tsdf_w)
+        mismatched = sum(
+            1 for i, c in enumerate(np.asarray(st_s.block_coords))
+            if np.asarray(st_s.valid)[i]
+            and not (ws[i] == wb[slot_b[tuple(c)]]).all()
+        )
+        assert mismatched <= max(2, n_s // 50), mismatched
