@@ -55,6 +55,13 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_H = 8
 TILE_W = 128
 
+#: light-tile candidate width: tiles with <= K_LIGHT candidates run the
+#: march on [:K_LIGHT] slices of the candidate arrays (exact — the lists
+#: are nearest-first with sentinel padding, so rows past the count
+#: contribute nothing), cutting the per-step interval scans and the
+#: one-hot MXU contraction 4x for the ~half of tiles that qualify
+K_LIGHT = 16
+
 _BIG = 1e9
 
 
@@ -154,7 +161,8 @@ def build_candidates(
     bx = jnp.where(valid, cand_coords[..., 0], big_c).reshape(-1)
     by = jnp.where(valid, cand_coords[..., 1], big_c).reshape(-1)
     bz = jnp.where(valid, cand_coords[..., 2], big_c).reshape(-1)
-    return cand_slot.reshape(-1), linq, bx, by, bz
+    n_cand = jnp.sum(valid, axis=1).astype(jnp.int32)  # (T,)
+    return cand_slot.reshape(-1), linq, bx, by, bz, n_cand
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +183,7 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
         bx_ref,  # prefetch (T*K,) int32
         by_ref,
         bz_ref,
+        ncand_ref,  # prefetch (T,) int32 valid-candidate count per tile
         params_ref,  # (6, 4) f32 SMEM
         linq_ref,  # (1, 1, K*4) int32 VMEM (this tile's row)
         tsdfw_hbm,  # (P*4, 128) int32, ANY
@@ -329,14 +338,15 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
             jnp.int32, (TILE_H, TILE_W, 128), 2
         )
 
-        def sample_table(t_s, table):
-            """One-hot MXU sampling of `table` ((K*4,128)) at the nearest
+        def sample_table(t_s, table, linq_k=None):
+            """One-hot MXU sampling of `table` ((KE*4,128)) at the nearest
             voxel; returns (value, in_candidate). The contraction runs in
             the TABLE's dtype: the one-hot makes it an exact selection
             (no accumulation), so a bf16 table costs only bf16 value
             quantization — and the bf16 MXU pass is ~4x the f32 one."""
+            lq = linq if linq_k is None else linq_k
             lin, lane = sample_ids(t_s)
-            oh = (lin[:, :, None] == linq).astype(table.dtype)
+            oh = (lin[:, :, None] == lq).astype(table.dtype)
             w1 = jax.lax.dot_general(
                 oh, table, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -360,65 +370,89 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
         done_s[0, 0] = 0
         steps_out_ref[ty, tx] = 0
 
-        def march(s, _):
-            @pl.when(done_s[0, 0] == 0)
-            def _step():
-                steps_out_ref[ty, tx] = steps_out_ref[ty, tx] + 1
-                t_cur = t_s[:]
-                val, inany = sample_table(t_cur, sdf_tab_bf)
-                sdf = val + (1.0 - inany)  # outside candidates: +1.0
-                prev_sdf = psdf_s[:]
-                # a leap leaves prev far behind: clamp the virtual
-                # previous sample
-                prev_t = jnp.maximum(pt_s[:], t_cur - 1.5 * dt)
-                # first crossing wins: samples are placed monotonically,
-                # so only record while no hit is stored yet
-                crossing = (prev_sdf > 0.0) & (sdf <= 0.0) \
-                    & (t_cur < t_max_hard) & (t_cur > 0.0) \
-                    & (bh_s[:] >= _BIG)
-                frac = prev_sdf / jnp.maximum(prev_sdf - sdf, 1e-6)
-                hit_t = prev_t + (t_cur - prev_t) * frac
-                bh_s[:] = jnp.where(crossing, hit_t, bh_s[:])
-                bc_s[:] = jnp.where(crossing, t_cur, bc_s[:])
-                psdf_s[:] = sdf
-                pt_s[:] = t_cur
+        def run_march(KE: int):
+            """The fused march over the first KE candidate rows. Exact
+            for tiles with <= KE valid candidates: the lists are
+            nearest-first with sentinel padding (tin=_BIG, tout=-_BIG,
+            linq=-1), so rows past the count contribute nothing to the
+            scans or the one-hot contraction."""
+            table_k = sdf_tab_bf[: KE * 4]
+            linq_k = linq[:, :, : KE * 4]
 
-                # place the next sample: sphere-trace inside covered
-                # intervals (the TSDF bounds the surface distance, so a
-                # positive sample allows a step of sdf * mu — exactly
-                # the XLA fine phase's rule; shrinking steps cannot leap
-                # over a crossing), floored at dt for sampling density,
-                # and leap to the next interval entry over gaps. Without
-                # this, dense maps keep rays inside covered intervals at
-                # fixed dt and they run out of steps ~2.5 m in.
-                tn = t_cur + jnp.maximum(sdf * (0.9 * mu_step), dt)
-                tin = tin_s[:]
-                tout = tout_s[:]
-                covered = jnp.any(
-                    (tin <= tn[None]) & (tn[None] <= tout), axis=0
-                )
-                # uncovered: pull back to the FIRST interval entry after
-                # t_cur (not after tn — a step can overshoot a short
-                # grazing interval entirely, which silently skipped it),
-                # clamped forward so progress is strictly monotonic
-                entry = jnp.min(
-                    jnp.where(tin > t_cur[None] + 0.25 * dt, tin, _BIG),
-                    axis=0,
-                )
-                t_nxt = jnp.minimum(
-                    jnp.where(
-                        covered, tn,
-                        jnp.maximum(entry - 0.25 * dt, t_cur + 0.5 * dt),
-                    ),
-                    t_cap,
-                )
-                t_s[:] = t_nxt
-                settled = (bh_s[:] < _BIG) | (t_nxt >= t_cap - 1e-3)
-                done_s[0, 0] = jnp.all(settled).astype(jnp.int32)
+            def march(s, _):
+                @pl.when(done_s[0, 0] == 0)
+                def _step():
+                    steps_out_ref[ty, tx] = steps_out_ref[ty, tx] + 1
+                    t_cur = t_s[:]
+                    val, inany = sample_table(t_cur, table_k, linq_k)
+                    sdf = val + (1.0 - inany)  # outside candidates: +1.0
+                    prev_sdf = psdf_s[:]
+                    # a leap leaves prev far behind: clamp the virtual
+                    # previous sample
+                    prev_t = jnp.maximum(pt_s[:], t_cur - 1.5 * dt)
+                    # first crossing wins: samples are placed
+                    # monotonically, so only record while no hit yet
+                    crossing = (prev_sdf > 0.0) & (sdf <= 0.0) \
+                        & (t_cur < t_max_hard) & (t_cur > 0.0) \
+                        & (bh_s[:] >= _BIG)
+                    frac = prev_sdf / jnp.maximum(prev_sdf - sdf, 1e-6)
+                    hit_t = prev_t + (t_cur - prev_t) * frac
+                    bh_s[:] = jnp.where(crossing, hit_t, bh_s[:])
+                    bc_s[:] = jnp.where(crossing, t_cur, bc_s[:])
+                    psdf_s[:] = sdf
+                    pt_s[:] = t_cur
 
-            return 0
+                    # place the next sample: sphere-trace inside covered
+                    # intervals (the TSDF bounds the surface distance, so
+                    # a positive sample allows a step of sdf * mu —
+                    # exactly the XLA fine phase's rule; shrinking steps
+                    # cannot leap over a crossing), floored at dt for
+                    # sampling density, and leap to the next interval
+                    # entry over gaps. Without this, dense maps keep rays
+                    # inside covered intervals at fixed dt and they run
+                    # out of steps ~2.5 m in.
+                    tn = t_cur + jnp.maximum(sdf * (0.9 * mu_step), dt)
+                    tin = tin_s[:KE]
+                    tout = tout_s[:KE]
+                    covered = jnp.any(
+                        (tin <= tn[None]) & (tn[None] <= tout), axis=0
+                    )
+                    # uncovered: pull back to the FIRST interval entry
+                    # after t_cur (not after tn — a step can overshoot a
+                    # short grazing interval entirely, which silently
+                    # skipped it), clamped forward so progress is
+                    # strictly monotonic
+                    entry = jnp.min(
+                        jnp.where(tin > t_cur[None] + 0.25 * dt, tin, _BIG),
+                        axis=0,
+                    )
+                    t_nxt = jnp.minimum(
+                        jnp.where(
+                            covered, tn,
+                            jnp.maximum(entry - 0.25 * dt, t_cur + 0.5 * dt),
+                        ),
+                        t_cap,
+                    )
+                    t_s[:] = t_nxt
+                    settled = (bh_s[:] < _BIG) | (t_nxt >= t_cap - 1e-3)
+                    done_s[0, 0] = jnp.all(settled).astype(jnp.int32)
 
-        jax.lax.fori_loop(0, n_steps, march, 0, unroll=False)
+                return 0
+
+            jax.lax.fori_loop(0, n_steps, march, 0, unroll=False)
+
+        if K > K_LIGHT:
+            light = ncand_ref[t_lin] <= K_LIGHT
+
+            @pl.when(light)
+            def _march_light():
+                run_march(K_LIGHT)
+
+            @pl.when(jnp.logical_not(light))
+            def _march_full():
+                run_march(K)
+        else:
+            run_march(K)
 
         best_hit = bh_s[:]
         best_cross = bc_s[:]
@@ -467,7 +501,7 @@ def raycast_tiled(
     h, w = cfg.height, cfg.width
 
     world_to_cam = jnp.linalg.inv(cam_to_world)
-    cand_slot, linq, bx, by, bz = build_candidates(
+    cand_slot, linq, bx, by, bz, n_cand = build_candidates(
         cfg, state, slots, slots_mask, origin, world_to_cam
     )
 
@@ -481,7 +515,7 @@ def raycast_tiled(
     params = params.at[5, 1].set(cfg.max_depth * 1.05)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # cand_slot, bx, by, bz
+        num_scalar_prefetch=5,  # cand_slot, bx, by, bz, n_cand
         grid=(ty_n, tx_n),
         in_specs=[
             pl.BlockSpec((6, 4), lambda i, j, *_: (0, 0),
@@ -531,7 +565,7 @@ def raycast_tiled(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
-        cand_slot, bx, by, bz, params, linq,
+        cand_slot, bx, by, bz, n_cand, params, linq,
         state.tsdf_w.reshape(P * 4, 128), state.color.reshape(P * 4, 128),
     )
     t_img = t_img[:h, :w]

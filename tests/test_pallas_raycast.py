@@ -167,3 +167,55 @@ def test_raycast_tiled_empty_map():
                        interpret=True)
     assert not np.asarray(rc.hit).any()
     assert (np.asarray(rc.depth) == 0).all()
+
+
+def test_light_tile_branch_exact():
+    """The K_LIGHT in-kernel specialization (march over [:K_LIGHT]
+    candidate slices for tiles with few candidates) must be EXACT:
+    outputs equal the full-width march bit for bit. Runs the unjitted
+    fn twice — once normally (both branches live), once with the
+    specialization disabled via monkeypatched K_LIGHT."""
+    from dynslam_tpu.ops import pallas_raycast as pr
+
+    cfg = _cfg(raycast_cand_k=32)
+    state, grid, origin, slots, mask, eye, depth = _fuse_frames(cfg)
+    # sparsify the upper-left: re-fuse with depth valid only in the
+    # lower-right 3/4 plus a tiny floating patch, so some tiles carry
+    # few candidates (light branch) while the dense rows stay full
+    h, w = cfg.height, cfg.width
+    d = np.asarray(depth).copy()
+    d[: h // 2, : w // 2] = 0.0
+    d[4:8, 8:16] = 2.0  # small isolated patch -> a handful of blocks
+    state = tsdf.create_state(cfg)
+    origin = tsdf.compute_origin(cfg, eye)
+    grid = tsdf.build_local_grid(cfg, state, origin)
+    state, grid, _ = tsdf.allocate(
+        cfg, state, grid, origin, jnp.asarray(d), eye, jnp.int32(0)
+    )
+    slots, mask = tsdf.visible_blocks(cfg, state, grid, origin, eye)
+    rgb = jnp.zeros((h, w, 3), jnp.uint8)
+    state = tsdf.integrate(
+        cfg, state, slots, mask, rgb, jnp.asarray(d), eye, jnp.int32(0)
+    )
+    # both branches must be exercised
+    _, _, _, _, _, n_cand = pr.build_candidates(
+        cfg, state, slots, mask, origin, jnp.linalg.inv(eye)
+    )
+    n = np.asarray(n_cand)
+    assert ((n > 0) & (n <= pr.K_LIGHT)).any() and (n > pr.K_LIGHT).any(), n
+    intr = jnp.asarray([cfg.fx, cfg.fy, cfg.cx, cfg.cy], jnp.float32)
+
+    fn = raycast_tiled.__wrapped__  # unjitted: K_LIGHT read per call
+    rc_spec = fn(cfg, state, slots, mask, origin, eye, intr,
+                 interpret=True)
+    old = pr.K_LIGHT
+    try:
+        pr.K_LIGHT = cfg.raycast_cand_k  # force the single full branch
+        rc_full = fn(cfg, state, slots, mask, origin, eye, intr,
+                     interpret=True)
+    finally:
+        pr.K_LIGHT = old
+    assert (np.asarray(rc_spec.depth) == np.asarray(rc_full.depth)).all()
+    assert (np.asarray(rc_spec.color) == np.asarray(rc_full.color)).all()
+    assert (np.asarray(rc_spec.weight) == np.asarray(rc_full.weight)).all()
+    assert (np.asarray(rc_spec.hit) == np.asarray(rc_full.hit)).all()
