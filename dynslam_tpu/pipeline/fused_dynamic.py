@@ -892,7 +892,11 @@ class FusedDynamicPipeline:
             th, holder = self._packed_prefetch
             th.join()
             self._packed_prefetch = None
-            packed = holder["v"]
+            # a failed background fetch (transient relay error) falls
+            # back to a synchronous fetch instead of crashing the frame
+            packed = holder.get("v")
+            if packed is None:
+                packed = np.asarray(self.last_outputs.packed)
         else:
             packed = np.asarray(self.last_outputs.packed)
         frame_no, assoc, pending_j = self._dispatch_meta
