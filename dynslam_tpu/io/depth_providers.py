@@ -159,3 +159,20 @@ class StereoMatcherDepthProvider(DepthProvider):
 
     def get_name(self) -> str:
         return "tpu-census-bm"
+
+
+class InGraphDepthProvider(DepthProvider):
+    """Placeholder provider for the FUSED pipelines, whose single-
+    dispatch steps run the census matcher ON DEVICE inside the frame
+    executable (pipeline/fused.py, pipeline/fused_dynamic.py): Input's
+    eager host-side depth would be computed twice and thrown away, so
+    this returns zeros at negligible cost."""
+
+    def __init__(self, min_depth_m: float = 0.5, max_depth_m: float = 20.0):
+        super().__init__(True, min_depth_m, max_depth_m)
+
+    def disparity_map_from_stereo(self, left_rgb, right_rgb):
+        return np.zeros(left_rgb.shape[:2], np.int16)
+
+    def get_name(self) -> str:
+        return "ingraph"

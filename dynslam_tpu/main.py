@@ -52,6 +52,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--fusion_every", type=int, default=1)
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--voxel_size", type=float, default=0.05)
+    p.add_argument("--max_depth", type=float, default=None,
+                   help="fusion depth cutoff in meters (reference "
+                        "default 20; CSV names encode it)")
     # evaluation flags (DynSLAMGUI.cpp:56-72)
     p.add_argument("--enable_evaluation", action="store_true", default=False)
     p.add_argument("--semantic_evaluation", action="store_true", default=True)
@@ -70,6 +73,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         " IO-overlap equivalent)")
     p.add_argument("--min_detection_size", type=int, default=None,
                    help="min detection side in px (default: reference's 45)")
+    p.add_argument("--fused", action="store_true", default=False,
+                   help="run the FUSED single-dispatch pipeline (the "
+                        "bench/perf configuration): whole-frame executable "
+                        "incl. in-graph census stereo; precomputed depth "
+                        "dumps are ignored. Evaluation not supported in "
+                        "this mode — use the staged path for CSVs")
     p.add_argument("--checkpoint_out", default=None,
                    help="write a map+trajectory checkpoint here at the end")
     p.add_argument("--resume_from", default=None,
@@ -78,6 +87,120 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="enable jax_debug_nans (the per-frame CUDA error "
                         "barrier's numerical-safety analogue)")
     return p
+
+
+def run_fused(args, cfg) -> int:
+    """--fused: the single-dispatch pipelines (pipeline/fused.py /
+    pipeline/fused_dynamic.py) driven from the app — the configuration
+    bench.py measures, on a real dataset. One device executable per
+    frame; the host stays one frame ahead of the device."""
+    import time
+
+    import numpy as np
+
+    from dynslam_tpu.io.calib import write_kitti_poses
+    from dynslam_tpu.ops import depth as depth_ops
+    from dynslam_tpu.pipeline.builder import build_fused
+
+    pipe, input_, segp = build_fused(
+        args.dataset_root, cfg,
+        kitti_tracking_sequence=(
+            args.kitti_tracking_sequence_id
+            if args.dataset_type == "kitti-tracking" else None
+        ),
+        frame_offset=args.frame_offset,
+        min_detection_size_px=args.min_detection_size,
+        use_prefetch=args.prefetch,
+    )
+    n = 0
+    if args.resume_from:
+        from dynslam_tpu.pipeline.checkpoint import load_fused_checkpoint
+
+        n = load_fused_checkpoint(args.resume_from, pipe)
+        input_.frame_idx = input_.frame_offset + n
+        print(f"[resumed from {args.resume_from} at frame {n}]")
+
+    poses = []
+    t_steady = None
+    n_start = n
+    while input_.has_more_images():
+        t0 = time.perf_counter()
+        input_.read_next_frame()
+        rgb, _ = input_.get_images()
+        right_rgb = input_.get_stereo_color()[1]
+        lg = np.asarray(depth_ops.rgb_to_gray(rgb))
+        rg = np.asarray(depth_ops.rgb_to_gray(right_rgb))
+        if segp is not None:
+            dets = segp.segment_frame(rgb).instance_detections
+            pipe.process_frame(lg, rg, rgb, dets)
+        else:
+            pipe.process_frame(lg, rg, rgb)
+        if pipe.last_outputs is not None:
+            poses.append(pipe.last_outputs.pose_w2c)
+            if args.dump_previews_every and n % args.dump_previews_every == 0 \
+                    and n:
+                import cv2
+
+                rc = pipe.last_outputs.raycast
+                cv2.imwrite(
+                    os.path.join(args.out, f"frame{n:06d}_color.png"),
+                    np.asarray(rc.color)[..., ::-1],
+                )
+                d = np.asarray(rc.depth)
+                dv = np.clip(d / max(float(d.max()), 1e-3) * 255, 0, 255)
+                cv2.imwrite(
+                    os.path.join(args.out, f"frame{n:06d}_depth.png"),
+                    dv.astype(np.uint8),
+                )
+        ms = (time.perf_counter() - t0) * 1000.0
+        print(f"[Dispatched frame {n} in {ms:.1f} ms (one-frame-deep "
+              f"async)]")
+        n += 1
+        if n - n_start == 3:
+            t_steady = time.perf_counter()
+        if args.frame_limit and n - n_start >= args.frame_limit:
+            break
+
+    if segp is not None:
+        pipe.finalize()
+    # force truth before reporting: sync on a final dependent output
+    if pipe.last_outputs is not None:
+        if hasattr(pipe.last_outputs, "sync"):
+            float(np.asarray(pipe.last_outputs.sync))
+        else:
+            np.asarray(pipe.last_outputs.packed)
+    if t_steady is not None and n - n_start > 3:
+        fps = (n - n_start - 3) / (time.perf_counter() - t_steady)
+        print(f"[steady-state: {fps:.2f} FPS over {n - n_start - 3} frames]")
+
+    if args.checkpoint_out:
+        from dynslam_tpu.pipeline.checkpoint import save_fused_checkpoint
+
+        save_fused_checkpoint(args.checkpoint_out, pipe)
+        print(f"[checkpoint written to {args.checkpoint_out}]")
+
+    # frame 0 is the bootstrap (identity pose, staged convention), so
+    # trajectory rows == frames processed
+    est = np.stack(
+        [np.eye(4)] + [np.linalg.inv(np.asarray(p)) for p in poses]
+    ) if poses else np.eye(4)[None]
+    write_kitti_poses(os.path.join(args.out, "trajectory.txt"), est)
+    if args.save_mesh:
+        from dynslam_tpu.viz.meshing import extract_mesh, write_obj
+
+        verts, tris = extract_mesh(pipe.carry.state, pipe.cfg.voxel_size)
+        write_obj(os.path.join(args.out, "static_map.obj"), verts, tris)
+        print(f"[saved static map mesh: {len(tris)} triangles]")
+    if segp is not None:
+        for t in pipe.tracker.active_tracks.values():
+            vol = (t.reconstruction.get_used_block_count()
+                   if t.has_reconstruction() else 0)
+            print(f"[track #{t.id} {t.class_name} {t.state.value}: "
+                  f"{len(t.frames)} frames, {t.fused_frames} fused, "
+                  f"{vol} blocks]")
+    print(f"[map: {pipe.get_used_block_count()} blocks, "
+          f"{pipe.get_dropped_allocation_count()} dropped allocations]")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -144,8 +267,17 @@ def main(argv=None) -> int:
             cfg.stereo, fill_gaps=args.fill_disparity_gaps
         ),
     )
+    if args.max_depth is not None:
+        cfg = dataclasses.replace(cfg, max_depth_m=args.max_depth)
 
     os.makedirs(args.out, exist_ok=True)
+    if args.fused:
+        if args.enable_evaluation or args.direct_refinement:
+            raise SystemExit(
+                "--fused does not support --enable_evaluation / "
+                "--direct_refinement; use the staged path for those"
+            )
+        return run_fused(args, cfg)
     dyn, input_ = build_dynslam(
         args.dataset_root,
         cfg,

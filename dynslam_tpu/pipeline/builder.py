@@ -52,23 +52,15 @@ def probe_frame_size(dataset_root: str, icfg: InputConfig,
     )
 
 
-def build_dynslam(
+def _resolve_dataset(
     dataset_root: str,
-    config: Optional[DynSlamConfig] = None,
-    kitti_tracking_sequence: Optional[int] = None,
-    use_live_stereo: bool = False,
-    frame_offset: int = 0,
-    with_instances: bool = True,
-    with_evaluation: bool = False,
-    csv_out_dir: Optional[str] = None,
-    min_detection_size_px: Optional[int] = None,
-    baseline_m: Optional[float] = None,
-    use_ground_truth_poses: bool = False,
-    use_prefetch: bool = False,
-) -> Tuple[DynSlam, Input]:
-    """Build a fully wired pipeline for a KITTI-layout sequence."""
-    config = config or DynSlamConfig()
-
+    config: DynSlamConfig,
+    kitti_tracking_sequence: Optional[int],
+    baseline_m: Optional[float],
+):
+    """Dataset preset + calibration + frame-size resolution shared by
+    the staged and fused factories. Returns (config, icfg, live_scale,
+    calib) with the config's frame geometry/intrinsics filled in."""
     # dataset preset (Input.h:61-160)
     if kitti_tracking_sequence is not None:
         icfg = (
@@ -116,6 +108,30 @@ def build_dynslam(
         right_intrinsics=calib.right_color_intrinsics,
         calibration=stereo_calib,
     )
+    return config, icfg, live_scale, calib
+
+
+def build_dynslam(
+    dataset_root: str,
+    config: Optional[DynSlamConfig] = None,
+    kitti_tracking_sequence: Optional[int] = None,
+    use_live_stereo: bool = False,
+    frame_offset: int = 0,
+    with_instances: bool = True,
+    with_evaluation: bool = False,
+    csv_out_dir: Optional[str] = None,
+    min_detection_size_px: Optional[int] = None,
+    baseline_m: Optional[float] = None,
+    use_ground_truth_poses: bool = False,
+    use_prefetch: bool = False,
+) -> Tuple[DynSlam, Input]:
+    """Build a fully wired pipeline for a KITTI-layout sequence."""
+    config = config or DynSlamConfig()
+    config, icfg, live_scale, calib = _resolve_dataset(
+        dataset_root, config, kitti_tracking_sequence, baseline_m
+    )
+    intr = config.intrinsics
+    stereo_calib = config.calibration
 
     # depth provider
     if use_live_stereo:
@@ -132,7 +148,8 @@ def build_dynslam(
         )
 
     input_ = Input(
-        dataset_root, icfg, depth_provider, (width, height), stereo_calib,
+        dataset_root, icfg, depth_provider,
+        (config.frame_width, config.frame_height), stereo_calib,
         frame_offset, live_scale,
     )
     if use_prefetch:
@@ -200,3 +217,72 @@ def build_dynslam(
         ground_truth_poses=gt_poses,
     )
     return dyn, input_
+
+
+def build_fused(
+    dataset_root: str,
+    config: Optional[DynSlamConfig] = None,
+    kitti_tracking_sequence: Optional[int] = None,
+    frame_offset: int = 0,
+    min_detection_size_px: Optional[int] = None,
+    baseline_m: Optional[float] = None,
+    use_prefetch: bool = False,
+):
+    """Build the FUSED single-dispatch pipeline for a KITTI-layout
+    sequence: FusedPipeline (static) or FusedDynamicPipeline (dynamic
+    mode) — the bench/perf configuration, runnable from the app. The
+    fused steps run the census matcher in-graph, so Input carries a
+    zero-cost InGraphDepthProvider; segmentation still comes from the
+    precomputed MNC dumps (dynamic mode).
+
+    Returns (pipeline, input, seg_provider_or_None).
+    """
+    config = config or DynSlamConfig()
+    config, icfg, live_scale, _calib = _resolve_dataset(
+        dataset_root, config, kitti_tracking_sequence, baseline_m
+    )
+    stereo_calib = config.calibration
+
+    from dynslam_tpu.io.depth_providers import InGraphDepthProvider
+
+    input_ = Input(
+        dataset_root, icfg, InGraphDepthProvider(
+            config.min_depth_m, config.max_depth_m
+        ),
+        (config.frame_width, config.frame_height), stereo_calib,
+        frame_offset, live_scale,
+    )
+    if use_prefetch:
+        from dynslam_tpu.io.prefetch import PrefetchingInput
+
+        input_ = PrefetchingInput(
+            input_,
+            prefetch_seg_folder=(
+                os.path.join(dataset_root, icfg.segmentation_folder)
+                if config.dynamic_mode else None
+            ),
+        )
+
+    seg_provider = None
+    if config.dynamic_mode:
+        seg_provider = PrecomputedSegmentationProvider(
+            os.path.join(dataset_root, icfg.segmentation_folder),
+            frame_offset, live_scale,
+            min_detection_size_px=(
+                min_detection_size_px
+                if min_detection_size_px is not None
+                else config.tracker.min_detection_size_px
+            ),
+        )
+        from dynslam_tpu.pipeline.fused_dynamic import FusedDynamicPipeline
+
+        pipe = FusedDynamicPipeline(config, stereo_calib)
+    else:
+        from dynslam_tpu.pipeline.fused import FusedPipeline
+        from dynslam_tpu.pipeline.mapping import engine_config_from
+
+        pipe = FusedPipeline(
+            engine_config_from(config), config.stereo, config.vo,
+            config.decay, stereo_calib,
+        )
+    return pipe, input_, seg_provider

@@ -27,3 +27,51 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert any("unified-depth-result" in f for f in csvs)
     traj = np.loadtxt(os.path.join(out, "trajectory.txt"))
     assert traj.shape == (3, 12)
+
+
+def test_cli_fused_dynamic(tmp_path, capsys):
+    """--fused runs the single-dispatch DYNAMIC pipeline from the app:
+    car tracked + reconstructed, trajectory + mesh + previews written."""
+    # 240x160: below this the car mask has < 18 flow vectors (the
+    # reference's min) and never leaves Uncertain (verify-skill trap)
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=7, width=240, height=160,
+                         with_dynamic=True)
+    out = str(tmp_path / "out")
+    rc = main([
+        "--dataset_root", root, "--out", out, "--tiny", "--fused",
+        "--min_detection_size", "8", "--save_mesh",
+        "--dump_previews_every", "2",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "[Dispatched frame 0" in text
+    assert "steady-state:" in text
+    assert "car Dynamic" in text and "blocks]" in text
+    traj = np.loadtxt(os.path.join(out, "trajectory.txt"))
+    assert traj.shape == (7, 12)
+    assert os.path.getsize(os.path.join(out, "static_map.obj")) > 1000
+    assert os.path.exists(os.path.join(out, "frame000002_color.png"))
+
+
+def test_cli_fused_static(tmp_path, capsys):
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=4, width=160, height=120)
+    out = str(tmp_path / "out")
+    rc = main([
+        "--dataset_root", root, "--out", out, "--tiny", "--fused",
+        "--no-dynamic_mode", "--max_depth", "8",
+    ])
+    assert rc == 0
+    assert "map:" in capsys.readouterr().out
+    assert np.loadtxt(os.path.join(out, "trajectory.txt")).shape == (4, 12)
+
+
+def test_cli_fused_rejects_evaluation(tmp_path):
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=2, width=160, height=120)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--dataset_root", root, "--out", str(tmp_path / "o"),
+              "--tiny", "--fused", "--enable_evaluation"])
