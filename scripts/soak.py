@@ -51,7 +51,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOOP_CACHE = "/tmp/dynslam_soak_loop_v1.npz"
-LOOP_CACHE_DYN = "/tmp/dynslam_soak_loop_dyn_v1.npz"
+
+
+def _dyn_cache_path(n_loop: int, W: int, H: int) -> str:
+    """Size-keyed cache: smoke runs at small sizes must not clobber the
+    expensive full-res render."""
+    return f"/tmp/dynslam_soak_loop_dyn_{W}x{H}x{n_loop}.npz"
 
 
 def loop_trajectory(n: int, radius: float = 18.0) -> "np.ndarray":
@@ -121,8 +126,9 @@ def render_loop_dynamic(n_loop: int, W: int, H: int):
     from dynslam_tpu.config import StereoCalibration
     from dynslam_tpu.io.synthetic import SyntheticScene, render_stereo_frame
 
-    if os.path.exists(LOOP_CACHE_DYN):
-        data = np.load(LOOP_CACHE_DYN)
+    cache = _dyn_cache_path(n_loop, W, H)
+    if os.path.exists(cache):
+        data = np.load(cache)
         if data["left"].shape == (n_loop, H, W):
             return data["left"], data["right"], data["objid"]
 
@@ -146,7 +152,7 @@ def render_loop_dynamic(n_loop: int, W: int, H: int):
             print(f"[soak] rendered {i + 1}/{n_loop} ({time.time() - t0:.0f}s)",
                   file=sys.stderr, flush=True)
     left, right, objid = np.stack(left), np.stack(right), np.stack(objid)
-    np.savez_compressed(LOOP_CACHE_DYN, left=left, right=right, objid=objid)
+    np.savez_compressed(cache, left=left, right=right, objid=objid)
     return left, right, objid
 
 
