@@ -142,9 +142,13 @@ def run_fused(args, cfg) -> int:
                 import cv2
 
                 rc = pipe.last_outputs.raycast
+                color = (
+                    pipe.composited_preview() if segp is not None
+                    else np.asarray(rc.color)
+                )
                 cv2.imwrite(
                     os.path.join(args.out, f"frame{n:06d}_color.png"),
-                    np.asarray(rc.color)[..., ::-1],
+                    color[..., ::-1],
                 )
                 d = np.asarray(rc.depth)
                 dv = np.clip(d / max(float(d.max()), 1e-3) * 255, 0, 255)

@@ -1007,6 +1007,40 @@ class FusedDynamicPipeline:
             if t.has_reconstruction()
         ]
 
+    def composited_preview(self) -> np.ndarray:
+        """Static raycast color with per-track tinted instance renders
+        z-merged in — the GUI's CompositeInstances role
+        (InstanceReconstructor.cpp:933-990) for the fused path. Preview
+        path only (serial per-track renders; the hot loop never
+        composites)."""
+        from dynslam_tpu.instances.reconstructor import PALETTE
+        from dynslam_tpu.ops import masks as mask_ops
+
+        rc = self.last_outputs.raycast
+        out_color = jnp.asarray(rc.color)
+        static_depth = jnp.asarray(rc.depth)
+        view_w2c = np.asarray(self.carry.pose_w2c)
+        for t in self.tracker.active_tracks.values():
+            if not t.has_reconstruction() or not t.frames:
+                continue
+            k = len(t.frames) - 1
+            chain = t.get_frame_pose(k)
+            if chain is None:
+                continue
+            # p_view = view_w2c @ C2W_k @ chain_k @ p_vol
+            cam_pose = t.frames[k].camera_pose
+            vol_w2c = view_w2c @ np.linalg.inv(cam_pose) @ chain
+            rc_i = self.raycast_instance(
+                t.reconstruction.slot, np.linalg.inv(vol_w2c)
+            )
+            tint = jnp.asarray(
+                PALETTE[t.id % len(PALETTE)], jnp.float32
+            )
+            out_color, static_depth = mask_ops.composite_color(
+                out_color, static_depth, rc_i.color, rc_i.depth, tint
+            )
+        return np.asarray(out_color)
+
     def raycast_instance(self, slot: int, cam_to_world) -> tsdf.Raycast:
         """Render one pooled object volume (preview path)."""
         state = jax.tree_util.tree_map(lambda x: x[slot], self.carry.inst)
