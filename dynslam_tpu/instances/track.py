@@ -122,10 +122,12 @@ class Track:
         return score
 
     # -- motion estimation + state machine (Track.cpp:167-343) ------------
-    def _estimate_instance_motion(self, sf_provider, initial_estimate):
-        if self.last_frame.precomputed_motion is not None:
-            return self.last_frame.precomputed_motion
-        flow = self.last_frame.masked_flow
+    def _estimate_instance_motion(self, sf_provider, initial_estimate,
+                                  frame: "Optional[TrackFrame]" = None):
+        frame = frame if frame is not None else self.last_frame
+        if frame.precomputed_motion is not None:
+            return frame.precomputed_motion
+        flow = frame.masked_flow
         if len(flow) < self.params.min_flow_vectors:
             return None, None
         tr = sf_provider.extract_motion(flow, initial_estimate)
@@ -137,18 +139,23 @@ class Track:
         T = np.asarray(se3.twist_to_transform(jnp.asarray(tr)), np.float64)
         return T, tr
 
-    def update(self, egomotion: np.ndarray, sf_provider, verbose=False) -> None:
+    def update(self, egomotion: np.ndarray, sf_provider, verbose=False,
+               frame: "Optional[TrackFrame]" = None) -> None:
         """Estimate this frame's object motion and advance the state
-        machine. `egomotion` is the camera delta T_cur<-prev."""
-        current_frame_idx = self.last_frame.frame_idx
+        machine. `egomotion` is the camera delta T_cur<-prev. `frame`
+        targets a specific TrackFrame (default: the latest) — the fused
+        lag-2 protocol finishes a frame after a newer one is already
+        associated."""
+        frame = frame if frame is not None else self.last_frame
+        current_frame_idx = frame.frame_idx
 
         # warm start from the previous frame's twist (Track.cpp:216-232)
         initial = None
         if len(self.frames) >= 2 and self.frames[-2].relative_pose_tr is not None:
             initial = self.frames[-2].relative_pose_tr
 
-        delta, delta_tr = self._estimate_instance_motion(sf_provider, initial)
-        frame = self.last_frame
+        delta, delta_tr = self._estimate_instance_motion(sf_provider, initial,
+                                                         frame)
         if delta is not None:
             frame.relative_pose = delta
             frame.relative_pose_tr = delta_tr

@@ -97,12 +97,19 @@ class FusedDynCarry(NamedTuple):
     #: stacked per-object volumes, leaf shapes (S, ...)
     inst: tsdf.TsdfState
     inst_fidx: jnp.ndarray  # (S,) i32 per-slot fusion clock (decay age)
-    #: views cut THIS frame, consumed (fused) by the NEXT dispatch —
-    #: bbox-centred CROPS (config.instance_map.fusion_crop), zero
-    #: outside the copy mask, with their 4-aligned frame origins
+    #: views cut THIS frame — bbox-centred CROPS
+    #: (config.instance_map.fusion_crop), zero outside the copy mask,
+    #: with their 4-aligned frame origins. Consumed by the NEXT dispatch
+    #: (dispatch_lag=1) or shifted into prev_pending_* and consumed one
+    #: dispatch later (dispatch_lag=2)
     pending_depth: jnp.ndarray  # (K, CH, CW) f32
     pending_rgb: jnp.ndarray  # (K, CH, CW, 3) uint8
     pending_org: jnp.ndarray  # (K, 2) i32 crop origin (u0, v0)
+    #: the one-frame-older cut views (dispatch_lag=2's fusion source;
+    #: carried but unused at lag 1)
+    prev_pending_depth: jnp.ndarray  # (K, CH, CW) f32
+    prev_pending_rgb: jnp.ndarray  # (K, CH, CW, 3) uint8
+    prev_pending_org: jnp.ndarray  # (K, 2) i32
 
 
 class FusedDynOutputs(NamedTuple):
@@ -223,7 +230,7 @@ def _fuse_one_instance(
     static_argnames=(
         "cfg", "icfg", "stereo_params", "vo_params", "obj_params",
         "use_pallas", "decay_enabled", "inst_decay", "K", "S",
-        "profile_skip",
+        "profile_skip", "fuse_from_prev",
     ),
     donate_argnames=("carry",),
 )
@@ -253,8 +260,15 @@ def fused_dynamic_step(
     bf: jnp.ndarray,
     base_key: jnp.ndarray,
     profile_skip: tuple = (),
+    fuse_from_prev: bool = False,
 ):
     """One full dynamic frame: returns (carry', FusedDynOutputs).
+
+    `fuse_from_prev` (dispatch_lag=2 protocol): instance fusion reads
+    the one-frame-OLDER pending buffer, letting the host dispatch frame
+    k before fetching frame k-1's packed outputs — the device never
+    idles on the fetch round trip; tracker decisions go one frame
+    staler than the lag-1 protocol.
 
     `profile_skip` (cost attribution only, scripts/profile_dynamic.py):
     stage names traced OUT of the executable — "obj_ransac" (per-mask
@@ -407,6 +421,14 @@ def fused_dynamic_step(
     else:
         fresh = tsdf.create_state(icfg)
         src_c = jnp.clip(slot_src, 0, K - 1)
+        if fuse_from_prev:
+            fd = carry.prev_pending_depth
+            fr = carry.prev_pending_rgb
+            fo = carry.prev_pending_org
+        else:
+            fd = carry.pending_depth
+            fr = carry.pending_rgb
+            fo = carry.pending_org
         inst, inst_fidx, inst_nvox = jax.vmap(
             lambda st, fx, d, rgb, o, p, a, rs, rw: _fuse_one_instance(
                 icfg, use_pallas, fresh, st, fx, d, rgb, o, intr_vec, p,
@@ -414,8 +436,7 @@ def fused_dynamic_step(
             )
         )(
             carry.inst, carry.inst_fidx,
-            carry.pending_depth[src_c], carry.pending_rgb[src_c],
-            carry.pending_org[src_c],
+            fd[src_c], fr[src_c], fo[src_c],
             fuse_pose, slot_src >= 0, slot_reset, slot_reap_w,
         )
 
@@ -483,6 +504,9 @@ def fused_dynamic_step(
         pending_depth=new_pending_depth,
         pending_rgb=new_pending_rgb,
         pending_org=new_pending_org,
+        prev_pending_depth=carry.pending_depth,
+        prev_pending_rgb=carry.pending_rgb,
+        prev_pending_org=carry.pending_org,
     )
     sync = (
         rc.depth[::64, ::64].sum()
@@ -557,7 +581,18 @@ class _SlotHandle:
 
 class FusedDynamicPipeline:
     """Host wrapper: one device dispatch per frame + the exact reference
-    tracker running one frame behind on the packed output fetch."""
+    tracker running behind on the packed output fetch.
+
+    `dispatch_lag` picks the host<->device protocol:
+    - 1 (default): fetch frame k-1's packed outputs BEFORE dispatching
+      frame k (tracker decisions one frame stale). The device idles for
+      the fetch's residual latency each frame.
+    - 2: dispatch frame k FIRST, then fetch/process k-1 — the device
+      never idles; tracker decisions (cut/remove actions, slot
+      lifecycle) go one frame staler and each cut view fuses one
+      dispatch later (the pending buffer is two deep). Steady-state
+      reconstruction is identical; transitions shift by one frame.
+    """
 
     def __init__(
         self,
@@ -565,7 +600,10 @@ class FusedDynamicPipeline:
         calib: StereoCalibration,
         use_pallas: Optional[bool] = None,
         seed: int = 0,
+        dispatch_lag: int = 1,
     ):
+        assert dispatch_lag in (1, 2)
+        self.dispatch_lag = dispatch_lag
         from dynslam_tpu.pipeline.mapping import engine_config_from
 
         self.config = config
@@ -682,6 +720,13 @@ class FusedDynamicPipeline:
                 (self.K, self.crop_h, self.crop_w, 3), jnp.uint8
             ),
             pending_org=jnp.zeros((self.K, 2), jnp.int32),
+            prev_pending_depth=jnp.zeros(
+                (self.K, self.crop_h, self.crop_w), jnp.float32
+            ),
+            prev_pending_rgb=jnp.zeros(
+                (self.K, self.crop_h, self.crop_w, 3), jnp.uint8
+            ),
+            prev_pending_org=jnp.zeros((self.K, 2), jnp.int32),
         )
 
     # ------------------------------------------------------------------
@@ -752,7 +797,10 @@ class FusedDynamicPipeline:
             return
 
         # 1. deferred tracker pass on the previous frame's outputs
-        self._finish_prev()
+        # (dispatch_lag=2 defers it until AFTER this frame's dispatch so
+        # the device never waits on the fetch)
+        if self.dispatch_lag == 1:
+            self._finish_prev()
 
         frame_no = self.current_frame_no
         h, w = self.cfg.height, self.cfg.width
@@ -784,13 +832,16 @@ class FusedDynamicPipeline:
         for j, tf in enumerate(new_frames):
             track = self._track_of_frame(tf)
             det = tf.detection
-            assoc.append((j, track))
+            assoc.append((j, track, tf, len(track.frames) - 1))
             bb = det.copy_mask.bbox
             copy_bbox[j] = (bb.x0, bb.y0, bb.x1, bb.y1)
             mask_gate[j] = True
-            if len(track.frames) >= 2 \
-                    and track.frames[-2].relative_pose_tr is not None:
-                warm_tr[j] = track.frames[-2].relative_pose_tr
+            # warm start from the latest frame with a known twist (at
+            # lag 2 the immediately-previous frame's update is pending)
+            for f in reversed(track.frames[:-1]):
+                if f.relative_pose_tr is not None:
+                    warm_tr[j] = f.relative_pose_tr
+                    break
             if track.state == TrackState.UNCERTAIN:
                 act = ACTION_REMOVE if det.is_possibly_dynamic() \
                     else ACTION_KEEP
@@ -836,6 +887,8 @@ class FusedDynamicPipeline:
         put("max_decay_weight", self.decay_params.max_decay_weight)
         put("min_decay_age", self.decay_params.min_decay_age)
 
+        prev_meta = self._dispatch_meta
+        prev_prefetch = self._packed_prefetch
         self.carry, self.last_outputs = fused_dynamic_step(
             self.cfg, self.icfg_fuse, self.stereo_params, self.vo_params,
             self.obj_params, self.use_pallas,
@@ -848,11 +901,17 @@ class FusedDynamicPipeline:
             self.calib_vec, self.intr_vec, self.bf,
             self.base_key,
             profile_skip=self.profile_skip,
+            fuse_from_prev=self.dispatch_lag == 2,
         )
         self._dispatch_meta = (frame_no, assoc, pending_j)
         self._reset_routing()
         self.current_frame_no += 1
         self._start_packed_prefetch()
+        if self.dispatch_lag == 2 and prev_meta is not None:
+            # now (device already busy with frame k) fetch + process
+            # frame k-1; its routing lands in the NEXT dispatch, which
+            # fuses the matching prev_pending buffer
+            self._finish_one(prev_meta, prev_prefetch)
 
     def _start_packed_prefetch(self) -> None:
         """Fetch this dispatch's packed vector on a background thread,
@@ -871,7 +930,7 @@ class FusedDynamicPipeline:
 
         th = threading.Thread(target=fetch, daemon=True)
         th.start()
-        self._packed_prefetch = (th, holder)
+        self._packed_prefetch = (th, holder, out)
 
     def _track_of_frame(self, tf: TrackFrame) -> Track:
         for track in self.tracker.active_tracks.values():
@@ -881,26 +940,41 @@ class FusedDynamicPipeline:
 
     # ------------------------------------------------------------------
     def _finish_prev(self) -> None:
-        """Fetch the previous dispatch's packed outputs (the pipeline
-        sync) and run the reference tracker logic for that frame:
-        Track.update with the device-estimated motions, then the
-        ProcessReconstructions bookkeeping that routes pending-view
-        fusion into the NEXT dispatch."""
-        if self.last_outputs is None or self._dispatch_meta is None:
+        """Fetch the latest unfinished dispatch's packed outputs (the
+        pipeline sync) and run the deferred tracker pass for it (lag-1
+        per-frame entry point; also the finalize flush)."""
+        if self._dispatch_meta is None:
             return
-        if self._packed_prefetch is not None:
-            th, holder = self._packed_prefetch
+        meta = self._dispatch_meta
+        pf = self._packed_prefetch
+        self._dispatch_meta = None
+        self._packed_prefetch = None
+        fb = (self.last_outputs.packed
+              if self.last_outputs is not None else None)
+        self._finish_one(meta, pf, fb)
+        if self.dispatch_lag == 1:
+            self.last_outputs = None
+
+    def _finish_one(self, meta, prefetch, fallback_packed=None) -> None:
+        """The reference tracker logic for one finished frame:
+        Track.update with the device-estimated motions, then the
+        ProcessReconstructions bookkeeping (InstanceReconstructor.cpp:
+        315-361) that routes pending-view fusion into a later dispatch.
+        Updates target the frame CAPTURED at dispatch time — at lag 2 a
+        newer frame may already be associated on the same track."""
+        frame_no, assoc, pending_j = meta
+        if prefetch is not None:
+            th, holder, out = prefetch
             th.join()
-            self._packed_prefetch = None
             # a failed background fetch (transient relay error) falls
             # back to a synchronous fetch instead of crashing the frame
             packed = holder.get("v")
             if packed is None:
-                packed = np.asarray(self.last_outputs.packed)
+                packed = np.asarray(out)
+        elif fallback_packed is not None:
+            packed = np.asarray(fallback_packed)
         else:
-            packed = np.asarray(self.last_outputs.packed)
-        frame_no, assoc, pending_j = self._dispatch_meta
-        self._dispatch_meta = None
+            return
         L = self._layout
 
         def get(name):
@@ -921,31 +995,46 @@ class FusedDynamicPipeline:
         self.last_march_samples = int(get("march_samples")[0])
 
         min_flow = self.config.tracker.min_flow_vectors
-        for j, track in assoc:
+        for j, track, tf, _idx in assoc:
+            if track.id not in self.tracker.tracks:
+                continue  # pruned since dispatch (lag-2 ordering)
             # association ran pre-dispatch when this frame's pose was not
             # yet known; patch it in now (the staged path sets it from
             # get_current_pose() after VO, reconstructor.py:113-122)
-            track.last_frame.camera_pose = pose
+            tf.camera_pose = pose
             if obj_success[j] and obj_count[j] >= min_flow:
                 T = se3.np_twist_to_transform(obj_tr[j])
-                track.last_frame.precomputed_motion = (T, obj_tr[j].copy())
+                tf.precomputed_motion = (T, obj_tr[j].copy())
             else:
-                track.last_frame.precomputed_motion = (None, None)
-            track.update(egomotion, None)
+                tf.precomputed_motion = (None, None)
+            track.update(egomotion, None, frame=tf)
 
-        # ProcessReconstructions (InstanceReconstructor.cpp:315-361), with
-        # fusion routed into the next dispatch instead of staged engines
+        # ProcessReconstructions, with fusion routed into a later
+        # dispatch instead of staged engines
+        fmap = {track.id: (j, tf, idx) for j, track, tf, idx in assoc}
         for track in list(self.tracker.active_tracks.values()):
-            if not track.frames or not \
-                    track.last_frame.detection.is_reconstructable():
+            ent = fmap.get(track.id)
+            det_frame = ent[1] if ent is not None else (
+                track.frames[-1] if track.frames else None
+            )
+            if det_frame is None or \
+                    not det_frame.detection.is_reconstructable():
                 continue
-            if track.end_time != frame_no:
-                gap = frame_no - track.end_time
+            if ent is None:
+                # no detection at frame_no: the stale-track reap path.
+                # (At lag 2 the track may already hold a NEWER frame, so
+                # derive the gap from its last frame <= frame_no.)
+                seen = [f.frame_idx for f in track.frames
+                        if f.frame_idx <= frame_no]
+                if not seen:
+                    continue
+                gap = frame_no - max(seen)
                 if track.needs_cleanup and track.has_reconstruction() \
                         and gap >= 2:
                     track.reap_reconstruction()
                     track.needs_cleanup = False
                 continue
+            j, tf, idx = ent
             if not track.has_reconstruction():
                 eligible = track.eligible_for_reconstruction() and (
                     track.state == TrackState.DYNAMIC
@@ -958,7 +1047,7 @@ class FusedDynamicPipeline:
                     self._route_reset[slot] = True
             if track.has_reconstruction() and track.id in pending_j \
                     and track.state != TrackState.UNCERTAIN:
-                chain = track.get_frame_pose(len(track.frames) - 1)
+                chain = track.get_frame_pose(idx)
                 if chain is not None:
                     slot = track.reconstruction.slot
                     self._route_src[slot] = pending_j[track.id]
@@ -968,13 +1057,21 @@ class FusedDynamicPipeline:
                     track.needs_cleanup = True
 
         self.tracker.prune_tracks(frame_no)
-        self.last_outputs = None
 
     # ------------------------------------------------------------------
     def finalize(self) -> None:
-        """Flush the deferred tracker pass (and the final pending fusion)
-        with one tail dispatch on a replay of the last frame's images."""
+        """Flush the deferred tracker pass (and the final pending
+        fusions) with fusion-only tail dispatches on a replay of the
+        last frame's images (lag-2 needs two: the pending buffer is two
+        deep)."""
         if self.carry is None or self._dispatch_meta is None:
+            return
+        if self.dispatch_lag == 2:
+            for _ in range(2):
+                lg = self.carry.prev_lg
+                rg = self.carry.prev_rg
+                self.process_frame(np.asarray(lg), np.asarray(rg), None, [])
+            self._finish_prev()
             return
         self._finish_prev()
         if not (self._route_src >= 0).any():

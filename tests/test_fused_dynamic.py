@@ -277,3 +277,59 @@ class TestCropFusion:
             and not (ws[i] == wb[slot_b[tuple(c)]]).all()
         )
         assert mismatched <= max(2, n_s // 50), mismatched
+
+
+def test_dispatch_lag2_matches_lag1(seq):
+    """dispatch_lag=2 (device never waits on the packed fetch): same
+    tracking outcome as lag 1 — the car goes DYNAMIC, reconstructs into
+    a volume of similar size (transitions shift by one frame so one
+    fewer view may fuse), VO trajectory identical, pending buffers fully
+    drained by finalize's two-deep flush."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from dynslam_tpu.ops import depth as depth_ops
+
+    def run(lag):
+        cfg = dynamic_config()
+        dyn2, inp = build_dynslam(seq, cfg, with_instances=True,
+                                  min_detection_size_px=8)
+        cfg = dyn2.config
+        segp = PrecomputedSegmentationProvider(
+            seq + "/seg_image_2/mnc", min_detection_size_px=8
+        )
+        pipe = FusedDynamicPipeline(cfg, cfg.calibration, use_pallas=False,
+                                    dispatch_lag=lag)
+        while inp.has_more_images():
+            inp.read_next_frame()
+            rgb, _ = inp.get_images()
+            right_rgb = inp.get_stereo_color()[1]
+            lg = np.asarray(depth_ops.rgb_to_gray(rgb))
+            rg = np.asarray(depth_ops.rgb_to_gray(right_rgb))
+            dets = segp.segment_frame(rgb).instance_detections
+            pipe.process_frame(lg, rg, rgb, dets)
+        pipe.finalize()
+        return pipe
+
+    p2 = run(2)
+    p1 = run(1)
+    t1 = list(p1.tracker.active_tracks.values())[0]
+    t2 = list(p2.tracker.active_tracks.values())[0]
+    assert t2.state == TrackState.DYNAMIC
+    assert t2.has_reconstruction()
+    # one-frame-later transitions cost at most one fused view
+    assert t2.fused_frames >= t1.fused_frames - 1 >= 1
+    n1 = t1.reconstruction.get_used_block_count()
+    n2 = t2.reconstruction.get_used_block_count()
+    assert n2 > 0.5 * n1
+    # identical VO (the protocols only reorder host work)
+    for k in range(1, N_FRAMES + 1):
+        d = np.linalg.norm(
+            p1.pose_history[k][:3, 3] - p2.pose_history[k][:3, 3]
+        )
+        assert d < 1e-4, f"pose_history[{k}]: {d}"
+    # finalize drained both pending levels
+    assert not (np.asarray(p2.carry.pending_depth) > 0).any()
+    assert not (np.asarray(p2.carry.prev_pending_depth) > 0).any()
+    # static maps agree (same cut decisions one frame shifted)
+    assert 0.8 * p1.get_used_block_count() < p2.get_used_block_count() \
+        < 1.25 * p1.get_used_block_count()
