@@ -159,7 +159,12 @@ def main_dynamic():
         decay=VoxelDecayParams(enabled=True, min_decay_age=200,
                                max_decay_weight=1),
     )
-    engine = FusedDynamicPipeline(cfg, calib)
+    # --lag2: the dispatch_lag=2 protocol (device never idles on the
+    # packed fetch; tracker decisions one frame staler — semantics
+    # pinned equivalent by tests/test_fused_dynamic.py)
+    lag = 2 if "--lag2" in sys.argv else 1
+    engine = FusedDynamicPipeline(cfg, calib, dispatch_lag=lag)
+    print(f"[bench] dispatch_lag={lag}", file=sys.stderr)
 
     # precompute detections + mask bit-planes (the reference reads these
     # from precomputed MNC dumps, PrecomputedSegmentationProvider.cpp);
