@@ -190,17 +190,42 @@ def detect_features(gray: jnp.ndarray, params: VisualOdometryParams) -> Features
     score = scores.reshape(-1)
     valid = jnp.isfinite(score)
 
-    # descriptors: sparse Sobel samples at the integer peak
+    # descriptors: sparse Sobel samples at the integer peak — extracted
+    # GATHER-FREE (per-element gathers cost ~120 ns each on TPU,
+    # PERFORMANCE.md): per-feature 8x8 row slabs of both Sobel channels
+    # (contiguous row DMA, channels side by side so ONE slab + ONE
+    # one-hot MXU contraction serve both), then the 4x4 stride-2 offset
+    # grid is a STATIC slice of the window (offsets are integers and
+    # margin=5 keeps every valid peak's window interior — identical
+    # values to per-sample clipped gathers; invalid lanes are zeroed,
+    # they are masked out of matching by `valid` anyway)
     sob = _conv2d(gray, np.stack([_SOBEL_X, _SOBEL_Y]))  # (2, H, W)
     xi = xi_.reshape(-1)
     yi = yi.reshape(-1)
-    feats = []
-    for dy, dx in _DESC_OFFSETS:
-        yy = jnp.clip(yi + dy, 0, h - 1)
-        xx = jnp.clip(xi + dx, 0, w - 1)
-        feats.append(sob[0, yy, xx])
-        feats.append(sob[1, yy, xx])
-    desc = jnp.stack(feats, axis=-1)
+    WD = 8  # window side: offsets span [-3, 3], anchored at peak - 3
+    y0 = jnp.clip(yi - 3, 0, h - WD)
+    x0 = jnp.clip(xi - 3, 0, w - WD)
+    sob2 = jnp.concatenate([sob[0], sob[1]], axis=1)  # (H, 2W)
+    rows = jax.vmap(
+        lambda y: jax.lax.dynamic_slice(sob2, (y, 0), (WD, 2 * w))
+    )(y0)  # (K, 8, 2w)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * w, 2 * WD), 1)
+    coff = jnp.concatenate([
+        jnp.arange(WD, dtype=jnp.int32),
+        w + jnp.arange(WD, dtype=jnp.int32),
+    ])
+    onehot = (col == (x0[:, None, None] + coff[None, None, :])).astype(
+        jnp.float32
+    )  # (K, 2w, 16)
+    wins = jax.lax.dot_general(
+        rows, onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (K, 8, 16): rows, then [sobel-x cols 0:8 | sobel-y cols 8:16]
+    wx = wins[:, 0:7:2, 0:7:2]  # (K, 4, 4) at the stride-2 grid
+    wy = wins[:, 0:7:2, 8:15:2]
+    desc = jnp.stack([wx, wy], axis=-1).reshape(wins.shape[0], DESC_DIM)
+    desc = jnp.where(valid[:, None], desc, 0.0)
 
     pos = jnp.where(valid[:, None], pos, -1e6)
     return Features(pos, desc, cls, score, valid)
