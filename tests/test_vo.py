@@ -199,3 +199,43 @@ def test_detect_pair_matches_single():
                                       np.asarray(b.valid))
         np.testing.assert_allclose(np.asarray(a.desc), np.asarray(b.desc),
                                    rtol=0, atol=1e-4)
+
+
+def test_descriptor_windows_match_gathers():
+    """The gather-free descriptor path (row-slab windows + one-hot MXU
+    contraction + static offset slice) must reproduce per-sample clipped
+    gathers exactly on valid lanes, and zero invalid lanes. Features with
+    a subpixel offset near +-0.5 are skipped only in the cross-check
+    (rounding pos back is ambiguous there; the internal integer peak is
+    what both paths sample at)."""
+    import jax.numpy as jnp
+
+    from dynslam_tpu.config import VisualOdometryParams
+    from dynslam_tpu.ops import features as feat_ops
+
+    rng = np.random.default_rng(31)
+    h, w = 120, 200
+    g = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    f = feat_ops.detect_features(g, VisualOdometryParams(max_candidates=512))
+    sob = np.asarray(
+        feat_ops._conv2d(g, np.stack([feat_ops._SOBEL_X, feat_ops._SOBEL_Y]))
+    )
+    pos = np.asarray(f.pos)
+    valid = np.asarray(f.valid)
+    desc = np.asarray(f.desc)
+    # unambiguous integer peak recovery: subpixel offset well inside +-0.5
+    fr = pos - np.round(pos)
+    sure = valid & (np.abs(fr) < 0.45).all(axis=1)
+    assert sure.sum() > 50
+    xi = np.round(pos[sure, 0]).astype(int)
+    yi = np.round(pos[sure, 1]).astype(int)
+    feats = []
+    for dy, dx in feat_ops._DESC_OFFSETS:
+        yy = np.clip(yi + dy, 0, h - 1)
+        xx = np.clip(xi + dx, 0, w - 1)
+        feats.append(sob[0, yy, xx])
+        feats.append(sob[1, yy, xx])
+    ref = np.stack(feats, -1)
+    np.testing.assert_allclose(desc[sure], ref, rtol=0, atol=1e-3)
+    if (~valid).any():
+        assert np.abs(desc[~valid]).max() == 0.0
