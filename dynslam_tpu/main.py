@@ -65,6 +65,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--dump_previews_every", type=int, default=0,
                    help="write raycast preview PNGs every k frames")
     p.add_argument("--save_mesh", action="store_true", default=False)
+    p.add_argument("--save_object_meshes", action="store_true", default=False,
+                   help="export each reconstructed object's volume as OBJ "
+                        "(SaveDynamicObject, DynSlam.cpp:199 — a GUI key op "
+                        "in the reference, a flag here)")
     p.add_argument("--cpu", action="store_true", default=False)
     p.add_argument("--tiny", action="store_true", default=False,
                    help="small pools/feature counts (tests, small inputs)")
@@ -202,6 +206,16 @@ def run_fused(args, cfg) -> int:
             print(f"[track #{t.id} {t.class_name} {t.state.value}: "
                   f"{len(t.frames)} frames, {t.fused_frames} fused, "
                   f"{vol} blocks]")
+        if args.save_object_meshes:
+            from dynslam_tpu.viz.meshing import save_engine_mesh
+
+            for t in pipe.tracker.active_tracks.values():
+                if t.has_reconstruction():
+                    op = os.path.join(
+                        args.out, f"object_{t.id}_{t.class_name}.obj"
+                    )
+                    nt = save_engine_mesh(t.reconstruction, op)
+                    print(f"[saved object #{t.id} mesh: {nt} triangles]")
     print(f"[map: {pipe.get_used_block_count()} blocks, "
           f"{pipe.get_dropped_allocation_count()} dropped allocations]")
     return 0
@@ -377,6 +391,14 @@ def main(argv=None) -> int:
             print(f"[track #{t.id} {t.class_name} {t.state.value}: "
                   f"{len(t.frames)} frames, {t.fused_frames} fused, "
                   f"{vol} blocks]")
+        if args.save_object_meshes:
+            for t in dyn.instance_reconstructor.tracker.active_tracks.values():
+                if t.has_reconstruction():
+                    op = os.path.join(
+                        args.out, f"object_{t.id}_{t.class_name}.obj"
+                    )
+                    dyn.save_dynamic_object(t.id, op)
+                    print(f"[saved object #{t.id} mesh: {op}]")
     print(dyn.get_timing_report())
     print(f"[map: {dyn.static_scene.get_used_block_count()} blocks, "
           f"{dyn.static_scene.get_used_memory_bytes() / 1e6:.1f} MB; decay "
