@@ -41,7 +41,7 @@ def test_cli_fused_dynamic(tmp_path, capsys):
     rc = main([
         "--dataset_root", root, "--out", out, "--tiny", "--fused",
         "--min_detection_size", "8", "--save_mesh",
-        "--dump_previews_every", "2",
+        "--dump_previews_every", "2", "--save_object_meshes",
     ])
     assert rc == 0
     text = capsys.readouterr().out
@@ -52,6 +52,11 @@ def test_cli_fused_dynamic(tmp_path, capsys):
     assert traj.shape == (7, 12)
     assert os.path.getsize(os.path.join(out, "static_map.obj")) > 1000
     assert os.path.exists(os.path.join(out, "frame000002_color.png"))
+    # --save_object_meshes: per-object OBJ export (SaveDynamicObject role)
+    objs = [f for f in os.listdir(out)
+            if f.startswith("object_") and f.endswith(".obj")]
+    assert objs, "no per-object mesh written"
+    assert os.path.getsize(os.path.join(out, objs[0])) > 100
 
 
 def test_cli_fused_static(tmp_path, capsys):
