@@ -62,6 +62,12 @@ TILE_W = 128
 #: one-hot MXU contraction 4x for the ~half of tiles that qualify
 K_LIGHT = 16
 
+#: optional middle tier: tiles with K_LIGHT < count <= K_MID march on
+#: [:K_MID] slices (same sentinel-exactness argument as K_LIGHT). 0
+#: disables the tier (default — kept off until TPU A/B shows a win; the
+#: third inlined march body grows the kernel ~50%)
+K_MID = 0
+
 _BIG = 1e9
 
 
@@ -441,7 +447,22 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
 
             jax.lax.fori_loop(0, n_steps, march, 0, unroll=False)
 
-        if K > K_LIGHT:
+        k_mid = K_MID if K_LIGHT < K_MID < K else 0
+        if K > K_LIGHT and k_mid:
+            nc = ncand_ref[t_lin]
+
+            @pl.when(nc <= K_LIGHT)
+            def _march_light():
+                run_march(K_LIGHT)
+
+            @pl.when(jnp.logical_and(nc > K_LIGHT, nc <= k_mid))
+            def _march_mid():
+                run_march(k_mid)
+
+            @pl.when(nc > k_mid)
+            def _march_full():
+                run_march(K)
+        elif K > K_LIGHT:
             light = ncand_ref[t_lin] <= K_LIGHT
 
             @pl.when(light)

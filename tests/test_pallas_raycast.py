@@ -219,3 +219,54 @@ def test_light_tile_branch_exact():
     assert (np.asarray(rc_spec.color) == np.asarray(rc_full.color)).all()
     assert (np.asarray(rc_spec.weight) == np.asarray(rc_full.weight)).all()
     assert (np.asarray(rc_spec.hit) == np.asarray(rc_full.hit)).all()
+
+
+def test_mid_tier_branch_exact():
+    """The optional K_MID tier (default-off) must also be bit-exact vs
+    the single full-width march, with all three branches exercised."""
+    from dynslam_tpu.ops import pallas_raycast as pr
+
+    cfg = _cfg(raycast_cand_k=32)
+    state, grid, origin, slots, mask, eye, depth = _fuse_frames(cfg)
+    h, w = cfg.height, cfg.width
+    d = np.asarray(depth).copy()
+    d[: h // 2, : w // 2] = 0.0
+    d[4:8, 8:16] = 2.0
+    state = tsdf.create_state(cfg)
+    origin = tsdf.compute_origin(cfg, eye)
+    grid = tsdf.build_local_grid(cfg, state, origin)
+    state, grid, _ = tsdf.allocate(
+        cfg, state, grid, origin, jnp.asarray(d), eye, jnp.int32(0)
+    )
+    slots, mask = tsdf.visible_blocks(cfg, state, grid, origin, eye)
+    rgb = jnp.zeros((h, w, 3), jnp.uint8)
+    state = tsdf.integrate(
+        cfg, state, slots, mask, rgb, jnp.asarray(d), eye, jnp.int32(0)
+    )
+    _, _, _, _, _, n_cand = pr.build_candidates(
+        cfg, state, slots, mask, origin, jnp.linalg.inv(eye)
+    )
+    n = np.asarray(n_cand)
+    k_mid = 24
+    # all three branches must be live: light, mid, full
+    assert ((n > 0) & (n <= pr.K_LIGHT)).any(), n
+    assert ((n > pr.K_LIGHT) & (n <= k_mid)).any(), n
+    assert (n > k_mid).any(), n
+    intr = jnp.asarray([cfg.fx, cfg.fy, cfg.cx, cfg.cy], jnp.float32)
+
+    fn = raycast_tiled.__wrapped__  # unjitted: tier constants read per call
+    old_mid, old_light = pr.K_MID, pr.K_LIGHT
+    try:
+        pr.K_MID = k_mid
+        rc_spec = fn(cfg, state, slots, mask, origin, eye, intr,
+                     interpret=True)
+        pr.K_MID = 0
+        pr.K_LIGHT = cfg.raycast_cand_k  # force the single full branch
+        rc_full = fn(cfg, state, slots, mask, origin, eye, intr,
+                     interpret=True)
+    finally:
+        pr.K_MID, pr.K_LIGHT = old_mid, old_light
+    assert (np.asarray(rc_spec.depth) == np.asarray(rc_full.depth)).all()
+    assert (np.asarray(rc_spec.color) == np.asarray(rc_full.color)).all()
+    assert (np.asarray(rc_spec.weight) == np.asarray(rc_full.weight)).all()
+    assert (np.asarray(rc_spec.hit) == np.asarray(rc_full.hit)).all()
