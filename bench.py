@@ -164,6 +164,7 @@ def main_dynamic():
     # pinned equivalent by tests/test_fused_dynamic.py)
     lag = 2 if "--lag2" in sys.argv else 1
     engine = FusedDynamicPipeline(cfg, calib, dispatch_lag=lag)
+    engine.verbose_tracker = "--verbose" in sys.argv
     print(f"[bench] dispatch_lag={lag}", file=sys.stderr)
 
     # precompute detections + mask bit-planes (the reference reads these

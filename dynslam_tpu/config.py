@@ -127,6 +127,13 @@ class InstanceMapParams:
     max_weight: int = 100
     #: max simultaneously reconstructed objects (object axis of the pool)
     max_objects: int = 8
+    #: fused-pipeline mask slots per frame (silhouette cut/remove + object
+    #: RANSAC capacity). The reference processes EVERY detection
+    #: (InstanceReconstructor.cpp:765-800); busy KITTI tracking frames
+    #: exceed 8 possibly-dynamic detections, so this defaults above
+    #: max_objects. Hard ceiling 16 (uint16 mask bit-planes); overflow is
+    #: counted + logged, never silent (largest-first priority).
+    max_detections: int = 16
     #: block capacity per object (cars are mostly surface; 5x5x10 m bound)
     blocks_per_object: int = 2048
     #: dense local grid per object, in blocks; the volume frame is the

@@ -156,20 +156,58 @@ def evaluate_depth_jit(
     return jnp.stack(rows), jnp.stack([epi_errors, neg_disp, n_valid_pts])
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "delta_maxes", "kitti_style",
+                     "compare_on_intersection"),
+)
+def evaluate_depth_packed_jit(
+    lidar, lidar_valid, velo_to_cam, proj_left, proj_right,
+    rendered_depth_m, input_depth_m, assoc_map, bf, min_depth, max_depth,
+    used_blocks, decayed_blocks,
+    width: int, height: int, delta_maxes: tuple, kitti_style: tuple,
+    compare_on_intersection: bool = True,
+):
+    """The fused-pipeline eval dispatch: `evaluate_depth_jit` plus the
+    memory telemetry folded into ONE flat f32 vector, so the host fetch
+    is a single relay round trip (layout: counts.ravel() ++ gt_stats ++
+    [used_blocks, decayed_blocks])."""
+    counts, gt_stats = evaluate_depth_jit(
+        lidar, lidar_valid, velo_to_cam, proj_left, proj_right,
+        rendered_depth_m, input_depth_m, assoc_map, bf, min_depth,
+        max_depth, width=width, height=height, delta_maxes=delta_maxes,
+        kitti_style=kitti_style,
+        compare_on_intersection=compare_on_intersection,
+    )
+    return jnp.concatenate([
+        counts.reshape(-1).astype(jnp.float32),
+        gt_stats.astype(jnp.float32),
+        jnp.stack([jnp.asarray(used_blocks, jnp.float32),
+                   jnp.asarray(decayed_blocks, jnp.float32)]),
+    ])
+
+
 def build_association_map(
-    height: int, width: int, seg_result, tracker
+    height: int, width: int, seg_result, tracker,
+    det_states: Optional[Dict[int, object]] = None,
 ) -> np.ndarray:
     """Rasterize the segmented-evaluation routing (SegmentedCallback):
     inside a copy mask: car/bus with a non-Uncertain track -> DYNAMIC,
-    otherwise SKIP for dynamic classes; everything else STATIC."""
+    otherwise SKIP for dynamic classes; everything else STATIC.
+
+    `det_states` optionally supplies the {id(detection): TrackState}
+    mapping directly (the fused dynamic pipeline evaluates a frame whose
+    tracks may already hold a NEWER detection, so `last_frame` lookup
+    would miss)."""
     from dynslam_tpu.instances.track import TrackState
 
     assoc = np.zeros((height, width), np.int8)
     if seg_result is None:
         return assoc
 
-    det_to_state: Dict[int, object] = {}
-    if tracker is not None:
+    det_to_state: Dict[int, object] = det_states if det_states is not None \
+        else {}
+    if tracker is not None and det_states is None:
         for track in tracker.active_tracks.values():
             det_to_state[id(track.last_frame.detection)] = track.state
 
@@ -281,7 +319,16 @@ class Evaluation:
         counts = self.evaluate_depth(
             lidar, rendered, input_depth_mm.astype(np.float32) / 1000.0, assoc
         )
+        self.write_frame_rows(
+            eval_frame, input_.get_dataset_identifier(), counts
+        )
 
+    def write_frame_rows(
+        self, eval_frame: int, dataset_id: str, counts: np.ndarray
+    ) -> Dict[str, DepthFrameEvaluation]:
+        """Turn one frame's count tensor into typed records and write the
+        CSV rows (the tail of EvaluateFrameSeparate) — shared by the
+        staged per-frame path and the fused pipelines' deferred fetches."""
         results = {}
         for bi, name in enumerate(("unified", "static", "dynamic")):
             evals: List[DepthEvaluation] = []
@@ -298,8 +345,7 @@ class Evaluation:
                 )
                 evals.append(DepthEvaluation(dmax, fused, inp, kitti))
             results[name] = DepthFrameEvaluation(
-                eval_frame, input_.get_dataset_identifier(),
-                self.config.max_depth_m, evals,
+                eval_frame, dataset_id, self.config.max_depth_m, evals,
             )
 
         self.csv_unified.write(results["unified"])
@@ -307,6 +353,28 @@ class Evaluation:
             self.csv_static.write(results["static"])
             self.csv_dynamic.write(results["dynamic"])
         self.last_frame_results = results
+        return results
+
+    def warn_gt_stats(self, epi: int, neg: int, n_ok: int) -> None:
+        """GT-quality warnings (Evaluation.cpp:300-303; the reference
+        aborts on negative disparity, we drop + warn)."""
+        self.last_epi_errors = epi
+        self.last_negative_disp = neg
+        if epi > 5:
+            import sys
+
+            print(
+                f"WARNING: Found {epi} possible epipolar violations in the "
+                f"ground truth, out of {n_ok} valid LIDAR points.",
+                file=sys.stderr,
+            )
+        if neg > 0:
+            import sys
+
+            print(
+                f"WARNING: {neg} negative-disparity ground-truth points "
+                "dropped (the reference aborts here).", file=sys.stderr,
+            )
 
     def evaluate_depth(
         self,
@@ -338,23 +406,7 @@ class Evaluation:
             kitti_style=self._kitti_flags,
         )
         epi, neg, n_ok = (int(x) for x in np.asarray(gt_stats))
-        self.last_epi_errors = epi
-        self.last_negative_disp = neg
-        if epi > 5:  # the reference's warning threshold (:300-303)
-            import sys
-
-            print(
-                f"WARNING: Found {epi} possible epipolar violations in the "
-                f"ground truth, out of {n_ok} valid LIDAR points.",
-                file=sys.stderr,
-            )
-        if neg > 0:
-            import sys
-
-            print(
-                f"WARNING: {neg} negative-disparity ground-truth points "
-                "dropped (the reference aborts here).", file=sys.stderr,
-            )
+        self.warn_gt_stats(epi, neg, n_ok)
         return np.asarray(counts)
 
     # ------------------------------------------------------------------

@@ -1,0 +1,168 @@
+"""Evaluation wiring for the FUSED single-dispatch pipelines.
+
+The reference's per-frame loop ends with `evaluation_->EvaluateFrame` +
+`LogMemoryUse` (/root/reference/src/DynSLAM/DynSlam.cpp:154-161) — the
+SAME loop whose FPS it reports. The staged path mirrors that synchronously
+(eval/evaluation.py); the fused pipelines must not: a synchronous eval
+fetch (~35 ms relay round trip) every frame would stall the one-frame-deep
+dispatch pipeline. This module keeps the eval itself ON DEVICE
+(`evaluate_depth_packed_jit` consumes the step's device-resident raycast
+depth + input depth directly) and defers the tiny packed-result fetch to a
+background thread, writing the CSV rows one or two frames late — the same
+rows, in frame order, the staged path writes inline.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynslam_tpu.eval.evaluation import (
+    MAX_LIDAR_POINTS, Evaluation, evaluate_depth_packed_jit,
+)
+from dynslam_tpu.eval.records import MemoryUsageEntry
+from dynslam_tpu.ops.tsdf import BLOCK3, BYTES_PER_VOXEL
+
+
+class FusedEvaluation(Evaluation):
+    """Per-frame evaluation + CSV logging driven by device-resident fused
+    outputs with deferred (background-thread) result fetches.
+
+    Protocol: `submit(frame, rendered_dev, input_dev, assoc, used, decayed)`
+    once per frame — dispatches the jitted eval on device futures and
+    queues a background fetch; CSV rows (depth results AND the memory
+    entry) are written when the fetch joins, at most `max_outstanding`
+    frames later, and all at `close()`. Frame order is preserved by the
+    FIFO queue.
+    """
+
+    #: frames allowed in flight before the oldest fetch is joined
+    max_outstanding = 2
+
+    def __init__(self, dataset_root, input_config, input_, calib, config,
+                 csv_out_dir: str = "csv"):
+        super().__init__(dataset_root, input_config, input_, calib, config,
+                         csv_out_dir=csv_out_dir)
+        if self.params.evaluation_delay:
+            raise ValueError(
+                "--fused evaluation supports evaluation_delay=0 only "
+                "(the staged path handles delayed evaluation)"
+            )
+        self.input_ = input_
+        self._dataset_id = input_.get_dataset_identifier()
+        self._frame_offset = input_.frame_offset
+        self._pending: deque = deque()
+        self._n_deltas = len(self._all_deltas)
+        self._velo_to_cam = jnp.asarray(self.calib.velo_to_left_cam,
+                                        jnp.float32)
+        self._proj_left = jnp.asarray(self.calib.proj_left_color, jnp.float32)
+        self._proj_right = jnp.asarray(self.calib.proj_right_color,
+                                       jnp.float32)
+        self._bf = jnp.float32(self.baseline_m * self.focal_px)
+
+    # ------------------------------------------------------------------
+    def submit(
+        self,
+        eval_frame: int,
+        rendered_depth_dev,  # (H, W) f32 device (composited raycast depth)
+        input_depth_dev,  # (H, W) f32 device
+        assoc: Optional[np.ndarray],  # (H, W) int8 or None (all-static)
+        used_blocks,  # i32 host int or device scalar (post-decay blocks)
+        decayed_blocks,  # i32 host int or device scalar (cumulative)
+    ) -> None:
+        """Evaluate one finished frame from device-resident depth maps.
+        Never blocks on the device: all fetches happen on the background
+        thread (or, for LIDAR-less frames, at join time)."""
+        if not self.params.enabled:
+            return
+        input_frame_idx = self._frame_offset + eval_frame
+        if not self.velodyne.frame_available(input_frame_idx):
+            # skip the depth eval (Evaluation.cpp:54-59) but keep the
+            # per-frame memory entry, like the reference's LogMemoryUse
+            self._pending.append(
+                ("mem", eval_frame, used_blocks, decayed_blocks)
+            )
+            self._drain_over(self.max_outstanding)
+            return
+        lidar = self.velodyne.read_frame(input_frame_idx)
+        n = min(len(lidar), MAX_LIDAR_POINTS)
+        pts = np.zeros((MAX_LIDAR_POINTS, 3), np.float32)
+        pts[:n] = lidar[:n, :3]
+        valid = np.zeros(MAX_LIDAR_POINTS, bool)
+        valid[:n] = True
+        if assoc is None:
+            assoc = np.zeros(
+                (self.config.frame_height, self.config.frame_width), np.int8
+            )
+
+        packed = evaluate_depth_packed_jit(
+            jnp.asarray(pts), jnp.asarray(valid),
+            self._velo_to_cam, self._proj_left, self._proj_right,
+            jnp.asarray(rendered_depth_dev, jnp.float32),
+            jnp.asarray(input_depth_dev, jnp.float32),
+            jnp.asarray(assoc),
+            self._bf,
+            jnp.float32(self.config.min_depth_m),
+            jnp.float32(self.config.max_depth_m),
+            jnp.asarray(used_blocks, jnp.int32),
+            jnp.asarray(decayed_blocks, jnp.int32),
+            width=self.config.frame_width,
+            height=self.config.frame_height,
+            delta_maxes=self._all_deltas,
+            kitti_style=self._kitti_flags,
+        )
+        holder: Dict[str, np.ndarray] = {}
+
+        def fetch():
+            holder["v"] = np.asarray(packed)
+
+        th = threading.Thread(target=fetch, daemon=True)
+        th.start()
+        self._pending.append(("eval", eval_frame, th, holder, packed))
+        self._drain_over(self.max_outstanding)
+
+    # ------------------------------------------------------------------
+    def _write_memory_row(self, eval_frame: int, used: int,
+                          decayed: int) -> None:
+        block_bytes = BLOCK3 * BYTES_PER_VOXEL
+        self.csv_memory.write(MemoryUsageEntry(
+            eval_frame, used * block_bytes, decayed * block_bytes,
+            self.config.decay,
+        ))
+
+    def _join_oldest(self) -> None:
+        ent = self._pending.popleft()
+        if ent[0] == "mem":
+            _, eval_frame, used, decayed = ent
+            self._write_memory_row(
+                eval_frame, int(np.asarray(used)), int(np.asarray(decayed))
+            )
+            return
+        _, eval_frame, th, holder, dev = ent
+        th.join()
+        packed = holder.get("v")
+        if packed is None:  # transient relay error: synchronous retry
+            packed = np.asarray(dev)
+        nc = self._n_deltas * 3 * 2 * 4
+        counts = packed[:nc].reshape(self._n_deltas, 3, 2, 4)
+        epi, neg, n_ok = (int(x) for x in packed[nc:nc + 3])
+        used, decayed = (int(x) for x in packed[nc + 3:nc + 5])
+        self._write_memory_row(eval_frame, used, decayed)
+        self.warn_gt_stats(epi, neg, n_ok)
+        self.write_frame_rows(eval_frame, self._dataset_id, counts)
+
+    def _drain_over(self, keep: int) -> None:
+        while len(self._pending) > keep:
+            self._join_oldest()
+
+    def drain(self) -> None:
+        """Join every outstanding fetch and write its rows (frame order)."""
+        self._drain_over(0)
+
+    def close(self) -> None:
+        self.drain()
+        super().close()

@@ -115,6 +115,8 @@ def run_fused(args, cfg) -> int:
         frame_offset=args.frame_offset,
         min_detection_size_px=args.min_detection_size,
         use_prefetch=args.prefetch,
+        with_evaluation=args.enable_evaluation,
+        csv_out_dir=args.csv_out_dir or os.path.join(args.out, "csv"),
     )
     n = 0
     if args.resume_from:
@@ -139,6 +141,14 @@ def run_fused(args, cfg) -> int:
             pipe.process_frame(lg, rg, rgb, dets)
         else:
             pipe.process_frame(lg, rg, rgb)
+            # per-frame evaluation on the device-resident outputs (the
+            # dynamic pipeline drives its own deferred eval internally)
+            if pipe.evaluation is not None and pipe.last_outputs is not None:
+                o = pipe.last_outputs
+                pipe.evaluation.submit(
+                    n, o.raycast.depth, o.depth_m, None,
+                    o.used_blocks, o.decayed_blocks,
+                )
         if pipe.last_outputs is not None:
             poses.append(pipe.last_outputs.pose_w2c)
             if args.dump_previews_every and n % args.dump_previews_every == 0 \
@@ -171,6 +181,8 @@ def run_fused(args, cfg) -> int:
 
     if segp is not None:
         pipe.finalize()
+    if pipe.evaluation is not None:
+        pipe.evaluation.close()
     # force truth before reporting: sync on a final dependent output
     if pipe.last_outputs is not None:
         if hasattr(pipe.last_outputs, "sync"):
@@ -290,10 +302,15 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out, exist_ok=True)
     if args.fused:
-        if args.enable_evaluation or args.direct_refinement:
+        if args.direct_refinement:
             raise SystemExit(
-                "--fused does not support --enable_evaluation / "
-                "--direct_refinement; use the staged path for those"
+                "--fused does not support --direct_refinement; use the "
+                "staged path for it"
+            )
+        if args.enable_evaluation and args.evaluation_delay:
+            raise SystemExit(
+                "--fused evaluation supports --evaluation_delay=0 only; "
+                "use the staged path for delayed evaluation"
             )
         return run_fused(args, cfg)
     dyn, input_ = build_dynslam(

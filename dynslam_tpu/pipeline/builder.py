@@ -227,6 +227,8 @@ def build_fused(
     min_detection_size_px: Optional[int] = None,
     baseline_m: Optional[float] = None,
     use_prefetch: bool = False,
+    with_evaluation: bool = False,
+    csv_out_dir: Optional[str] = None,
 ):
     """Build the FUSED single-dispatch pipeline for a KITTI-layout
     sequence: FusedPipeline (static) or FusedDynamicPipeline (dynamic
@@ -235,10 +237,15 @@ def build_fused(
     zero-cost InGraphDepthProvider; segmentation still comes from the
     precomputed MNC dumps (dynamic mode).
 
+    `with_evaluation` attaches a FusedEvaluation (deferred-fetch LIDAR
+    eval + memory CSV, eval/fused_eval.py) as `pipe.evaluation` — the
+    dynamic pipeline drives it internally; the static pipeline's caller
+    submits each frame's outputs (main.run_fused).
+
     Returns (pipeline, input, seg_provider_or_None).
     """
     config = config or DynSlamConfig()
-    config, icfg, live_scale, _calib = _resolve_dataset(
+    config, icfg, live_scale, calib = _resolve_dataset(
         dataset_root, config, kitti_tracking_sequence, baseline_m
     )
     stereo_calib = config.calibration
@@ -284,5 +291,13 @@ def build_fused(
         pipe = FusedPipeline(
             engine_config_from(config), config.stereo, config.vo,
             config.decay, stereo_calib,
+        )
+    pipe.evaluation = None
+    if with_evaluation:
+        from dynslam_tpu.eval.fused_eval import FusedEvaluation
+
+        pipe.evaluation = FusedEvaluation(
+            dataset_root, icfg, input_, calib, config,
+            csv_out_dir=csv_out_dir or os.path.join(dataset_root, "csv"),
         )
     return pipe, input_, seg_provider

@@ -73,6 +73,11 @@ class FusedOutputs(NamedTuple):
     #: raycast kernel actually marched (0 on the XLA raycast path)
     fused_voxels: jnp.ndarray
     march_samples: jnp.ndarray
+    #: i32 scalars for the per-frame memory CSV (LogMemoryUse,
+    #: Evaluation.h:234-243): post-decay allocated blocks + cumulative
+    #: decayed blocks
+    used_blocks: jnp.ndarray
+    decayed_blocks: jnp.ndarray
     sync: jnp.ndarray  # f32 scalar depending on every stage — fetching it
     # (one ~35 ms relay round trip) is the reliable way to wait for the
     # frame: block_until_ready through the relay is both unreliable and
@@ -270,6 +275,8 @@ def fused_step(
         fused_voxels=jnp.sum(mask.astype(jnp.int32)) * 512,
         march_samples=(rc.march_samples if rc.march_samples is not None
                        else jnp.int32(0)),
+        used_blocks=jnp.sum(state.valid.astype(jnp.int32)) - 1,
+        decayed_blocks=state.decayed_blocks,
         sync=sync,
     )
     return carry2, outs

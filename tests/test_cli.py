@@ -72,11 +72,13 @@ def test_cli_fused_static(tmp_path, capsys):
     assert np.loadtxt(os.path.join(out, "trajectory.txt")).shape == (4, 12)
 
 
-def test_cli_fused_rejects_evaluation(tmp_path):
+def test_cli_fused_rejects_direct_refinement(tmp_path):
+    """--fused still refuses the (shipped-disabled) direct refinement;
+    evaluation is supported since round 4 (tests/test_fused_eval.py)."""
     root = str(tmp_path / "seq")
     write_kitti_sequence(root, num_frames=2, width=160, height=120)
     import pytest
 
     with pytest.raises(SystemExit):
         main(["--dataset_root", root, "--out", str(tmp_path / "o"),
-              "--tiny", "--fused", "--enable_evaluation"])
+              "--tiny", "--fused", "--direct_refinement"])

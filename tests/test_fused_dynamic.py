@@ -28,7 +28,7 @@ def test_pack_layout_is_contiguous():
     for name, (off, size) in layout.items():
         assert off == cur, name
         cur += size
-    assert cur == total == 38 + 9 * 4 + 2
+    assert cur == total == 38 + 9 * 4 + 2 + 2  # + used/decayed telemetry
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,144 @@
+"""--fused --enable_evaluation: the fused single-dispatch pipelines run
+the reference's in-loop evaluation (EvaluateFrame + LogMemoryUse,
+DynSlam.cpp:154-161) — same CSV files/schema as the staged path, with
+the dynamic bucket scored against the instance-COMPOSITED raycast depth
+(Evaluation.cpp:93-100)."""
+
+import csv
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from dynslam_tpu.io.synthetic import write_kitti_sequence
+from dynslam_tpu.main import main
+
+
+def _rows_by_frame(csv_dir, pattern, key="frame"):
+    files = glob.glob(os.path.join(csv_dir, pattern))
+    assert files, f"no CSV matching {pattern} under {csv_dir}"
+    with open(files[0]) as f:
+        return {int(r[key]): r for r in csv.DictReader(f)}
+
+
+def test_fused_static_eval_matches_staged(tmp_path):
+    """The fused static pipeline's eval rows match the staged path's on
+    the frames both evaluate (fused has no frame-0 row: frame 0 is the
+    bootstrap dispatch). Both paths run the same census depth + VO ops,
+    so counts agree up to borderline-pixel rounding."""
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=5, width=160, height=120,
+                         with_dynamic=False, write_velodyne=True)
+
+    staged_out = str(tmp_path / "staged")
+    rc = main([
+        "--dataset_root", root, "--out", staged_out, "--tiny",
+        "--no-dynamic_mode", "--use_live_stereo", "--enable_evaluation",
+        "--max_depth", "8",
+    ])
+    assert rc == 0
+    fused_out = str(tmp_path / "fused")
+    rc = main([
+        "--dataset_root", root, "--out", fused_out, "--tiny",
+        "--no-dynamic_mode", "--fused", "--enable_evaluation",
+        "--max_depth", "8",
+    ])
+    assert rc == 0
+
+    staged = _rows_by_frame(os.path.join(staged_out, "csv"),
+                            "*unified-depth-result.csv")
+    fused = _rows_by_frame(os.path.join(fused_out, "csv"),
+                           "*unified-depth-result.csv")
+    # same schema
+    any_s = next(iter(staged.values()))
+    any_f = next(iter(fused.values()))
+    assert list(any_s.keys()) == list(any_f.keys())
+    common = sorted(set(staged) & set(fused))
+    assert common, "no common evaluated frames"
+    assert common == [1, 2, 3, 4]
+    for fr in common:
+        srow, frow = staged[fr], fused[fr]
+        total = max(int(srow["fusion-total-3.00"]), 1)
+        for col in srow:
+            if col == "frame":
+                continue
+            diff = abs(int(srow[col]) - int(frow[col]))
+            assert diff <= max(5, 0.02 * total), (
+                f"frame {fr} col {col}: staged {srow[col]} vs fused "
+                f"{frow[col]}"
+            )
+
+    # memory CSV: per-frame rows with nonzero usage
+    mem = _rows_by_frame(os.path.join(fused_out, "csv"), "*-memory.csv", key="frame_id")
+    assert set(mem) == {1, 2, 3, 4}
+    assert int(mem[4]["memory_usage_bytes"]) > 0
+
+
+@pytest.mark.parametrize("lag", [1, 2])
+def test_fused_dynamic_eval_composited(tmp_path, lag):
+    """Fused dynamic eval: the dynamic bucket is scored against the
+    composited (instance volumes z-merged) raycast — the fused source
+    must have GT-backed coverage at dynamic pixels, which only the
+    per-object volumes can provide (the static map has holes there)."""
+    import dataclasses
+
+    from dynslam_tpu.config import EvaluationParams
+    from dynslam_tpu.ops import depth as depth_ops
+    from dynslam_tpu.pipeline.builder import build_fused
+    from tests.test_dynamic_pipeline import dynamic_config
+
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=7, width=240, height=160,
+                         with_dynamic=True, write_velodyne=True)
+    csv_dir = str(tmp_path / f"csv_lag{lag}")
+    cfg = dataclasses.replace(
+        dynamic_config(),
+        evaluation=EvaluationParams(enabled=True, semantic_evaluation=True),
+    )
+    pipe, input_, segp = build_fused(
+        root, cfg, min_detection_size_px=8,
+        with_evaluation=True, csv_out_dir=csv_dir,
+    )
+    assert segp is not None and pipe.evaluation is not None
+    pipe.dispatch_lag = lag
+    while input_.has_more_images():
+        input_.read_next_frame()
+        rgb, _ = input_.get_images()
+        right_rgb = input_.get_stereo_color()[1]
+        lg = np.asarray(depth_ops.rgb_to_gray(rgb))
+        rg = np.asarray(depth_ops.rgb_to_gray(right_rgb))
+        dets = segp.segment_frame(rgb).instance_detections
+        pipe.process_frame(lg, rg, rgb, dets)
+    pipe.finalize()
+    pipe.evaluation.close()
+
+    uni = _rows_by_frame(csv_dir, "*unified-depth-result.csv")
+    dyn = _rows_by_frame(csv_dir, "*dynamic-depth-result.csv")
+    sta = _rows_by_frame(csv_dir, "*static-depth-result.csv")
+    assert set(uni) == set(dyn) == set(sta)
+    assert len(uni) >= 5
+    # the car is tracked + reconstructed: dynamic-bucket points exist and
+    # the FUSED source covers some of them (composited render)
+    tot_dyn = sum(int(r["fusion-total-3.00"]) for r in dyn.values())
+    assert tot_dyn > 0, "dynamic bucket empty — routing broken"
+    fused_hit = sum(
+        int(r["fusion-total-3.00"]) - int(r["fusion-missing-3.00"])
+        for r in dyn.values()
+    )
+    assert fused_hit > 0, (
+        "fused source all-missing in the dynamic bucket — instance "
+        "compositing not reaching the eval"
+    )
+    mem = _rows_by_frame(csv_dir, "*-memory.csv", key="frame_id")
+    assert len(mem) == len(uni)
+
+
+def test_fused_eval_rejects_delay(tmp_path):
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=2, width=96, height=64)
+    with pytest.raises(SystemExit):
+        main([
+            "--dataset_root", root, "--out", str(tmp_path / "o"), "--tiny",
+            "--fused", "--enable_evaluation", "--evaluation_delay", "2",
+        ])
