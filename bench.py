@@ -153,7 +153,7 @@ def main_dynamic():
         scene=SceneParams(voxel_size_m=0.05, mu_m=0.30),
         map=MapParams(pool_capacity=2 ** 17, local_dims=(160, 48, 160),
                       max_new_blocks_per_frame=8192),
-        instance_map=InstanceMapParams(max_objects=4),
+        instance_map=InstanceMapParams(max_objects=4, max_detections=4),
         stereo=StereoMatcherParams(max_disparity=128),
         vo=VisualOdometryParams(),
         decay=VoxelDecayParams(enabled=True, min_decay_age=200,
@@ -178,7 +178,7 @@ def main_dynamic():
     print(f"[bench] detections/frame: {n_det}", file=sys.stderr)
     masks_dev = []
     for i in range(N_FRAMES):
-        db, cb = engine.pack_mask_bits(dets[i], H, W)
+        db, cb = engine.pack_mask_bits(dets[i], H, W, engine.K)
         masks_dev.append((jnp.asarray(db), jnp.asarray(cb)))
     left_dev = [jnp.asarray(x, jnp.float32) for x in left_np]
     right_dev = [jnp.asarray(x, jnp.float32) for x in right_np]
@@ -223,13 +223,13 @@ def main_dynamic():
         f"blocks; {len(objs)} reconstructed objects {obj_blocks}",
         file=sys.stderr,
     )
-    print(json.dumps({
+    return {
         "metric": "end_to_end_fps_dynamic_kitti_1242x375",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 2.5, 3),
-        "reconstructed_objects": len(objs),
-    }))
+        "reconstructed_objects": sum(1 for v in obj_blocks.values() if v),
+    }
 
 
 def main():
@@ -340,16 +340,34 @@ def main():
         f"[bench] steady-state: {fps:.2f} FPS over {N_FRAMES - WARMUP - 1} frames; "
         f"map {used} blocks", file=sys.stderr,
     )
-    print(json.dumps({
+    return {
         "metric": "end_to_end_fps_kitti_1242x375",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 2.5, 3),
-    }))
+    }
 
 
 if __name__ == "__main__":
     if "--dynamic" in sys.argv:
-        main_dynamic()
+        print(json.dumps(main_dynamic()))
+    elif "--static" in sys.argv:
+        print(json.dumps(main()))
     else:
-        main()
+        # the driver's capture command is plain `python bench.py`: run
+        # BOTH modes so the official artifact covers the reference's
+        # default (dynamic) too. The dynamic line prints first and is
+        # also written to BENCH_DYNAMIC.json; the static line prints
+        # LAST (the driver records the final JSON line).
+        dyn_res = main_dynamic()
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "BENCH_DYNAMIC.json"),
+                    "w") as f:
+                json.dump(dyn_res, f)
+                f.write("\n")
+        except Exception as e:
+            print(f"[bench] BENCH_DYNAMIC.json write failed: {e}",
+                  file=sys.stderr)
+        print(json.dumps(dyn_res))
+        print(json.dumps(main()))

@@ -34,6 +34,7 @@ from dynslam_tpu.eval.records import (
     DepthFrameEvaluation,
     DepthResult,
     MemoryUsageEntry,
+    TrackerFrameEntry,
     base_csv_name,
 )
 from dynslam_tpu.io.calib import KittiCalibration
@@ -269,6 +270,7 @@ class Evaluation:
         self.csv_static = CsvWriter(base + "-static-depth-result.csv")
         self.csv_dynamic = CsvWriter(base + "-dynamic-depth-result.csv")
         self.csv_memory = CsvWriter(base + "-memory.csv")
+        self.csv_tracker = CsvWriter(base + "-tracker.csv")
         self._delta_maxes = tuple(float(d) for d in self.params.delta_maxes)
         self._kitti_flags = tuple([False] * len(self._delta_maxes)) + (
             (True,) if self.params.kitti_style else ()
@@ -421,7 +423,15 @@ class Evaluation:
             )
         )
 
+    def log_tracker(self, frame_id: int, active: int, reconstructed: int,
+                    dropped_cum: int) -> None:
+        """Per-frame tracker telemetry row (fused-path drop visibility;
+        VERDICT r3 item 5 — new file, reference schemas untouched)."""
+        self.csv_tracker.write(TrackerFrameEntry(
+            frame_id, active, reconstructed, dropped_cum,
+        ))
+
     def close(self) -> None:
         for wtr in (self.csv_unified, self.csv_static, self.csv_dynamic,
-                    self.csv_memory):
+                    self.csv_memory, self.csv_tracker):
             wtr.close()

@@ -110,6 +110,30 @@ class TrackletEvaluation:
 
 
 @dataclass(frozen=True)
+class TrackerFrameEntry:
+    """Per-frame instance-tracker telemetry: active/reconstructed track
+    counts + the CUMULATIVE dropped-detection count (detections beyond
+    the fused path's K mask slots; always 0 on the staged path, which
+    processes every detection like the reference). This is a NEW file —
+    the reference's CSV schemas (Records.h) are untouched."""
+
+    frame_id: int
+    active_tracks: int
+    reconstructed_tracks: int
+    dropped_detections_cum: int
+
+    def get_header(self) -> str:
+        return ("frame_id,active_tracks,reconstructed_tracks,"
+                "dropped_detections_cum")
+
+    def get_data(self) -> str:
+        return "%d,%d,%d,%d" % (
+            self.frame_id, self.active_tracks, self.reconstructed_tracks,
+            self.dropped_detections_cum,
+        )
+
+
+@dataclass(frozen=True)
 class MemoryUsageEntry:
     """Static-map memory telemetry. Ref: Records.h:163-191."""
 

@@ -230,6 +230,12 @@ def run_fused(args, cfg) -> int:
                     print(f"[saved object #{t.id} mesh: {nt} triangles]")
     print(f"[map: {pipe.get_used_block_count()} blocks, "
           f"{pipe.get_dropped_allocation_count()} dropped allocations]")
+    if hasattr(pipe, "get_dropped_detection_count"):
+        nd = pipe.get_dropped_detection_count()
+        if nd:
+            print(f"[WARNING: {nd} detections exceeded the "
+                  f"{pipe.K} mask slots over the run (largest kept); "
+                  f"raise instance_map.max_detections]")
     return 0
 
 

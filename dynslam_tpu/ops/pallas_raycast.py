@@ -65,8 +65,11 @@ K_LIGHT = 16
 #: optional middle tier: tiles with K_LIGHT < count <= K_MID march on
 #: [:K_MID] slices (same sentinel-exactness argument as K_LIGHT). 0
 #: disables the tier (default — kept off until TPU A/B shows a win; the
-#: third inlined march body grows the kernel ~50%)
-K_MID = 0
+#: third inlined march body grows the kernel ~50%). Env override for
+#: hardware A/B runs: DYNSLAM_K_MID=32 python bench.py
+import os as _os  # noqa: E402
+
+K_MID = int(_os.environ.get("DYNSLAM_K_MID", "0"))
 
 _BIG = 1e9
 

@@ -185,6 +185,14 @@ class DynSlam:
             t.tic("9-evaluation")
             self.evaluation.evaluate_frame(input_, self)
             self.evaluation.log_memory_use(self)
+            if self.instance_reconstructor is not None:
+                tr = self.instance_reconstructor.tracker
+                self.evaluation.log_tracker(
+                    self.current_frame_no, len(tr.active_tracks),
+                    sum(1 for x in tr.active_tracks.values()
+                        if x.has_reconstruction()),
+                    0,  # the staged path processes every detection
+                )
             t.toc("9-evaluation")
 
         self.current_frame_no += 1

@@ -24,8 +24,11 @@ doubles as the pipeline sync), so its decisions land one frame late:
   needs host-side masks/bboxes, Track.cpp:17-71);
 - the silhouette action (keep/remove/cut) for frame k uses each track's
   state as of frame k-1's update — one frame staler than the staged
-  path. Net effect: at an Uncertain->Dynamic transition the object's
-  first cut-out view appears one frame later; everything else matches.
+  path. Reconstructable detections are cut SPECULATIVELY even while
+  Uncertain (the crop is free — the crop vmap covers all K slots — and
+  cut implies the same view removal Uncertain tracks get anyway), so
+  whether a frame's view fuses is decided by the deferred tracker pass
+  with FRESH state: transition frames lose no views.
 - the view cut at frame k is fused into its object volume during
   dispatch k+1 (it stays on device in the carry's pending buffer), at
   the chain pose the host computes from frame k's fetched object motion
@@ -364,10 +367,14 @@ def fused_dynamic_step(
     remove_mask = (delete_bits.astype(jnp.int32) & rem_bits) != 0
     depth_cut = jnp.where(remove_mask, 0.0, depth_m)
     rgb_cut = jnp.where(remove_mask[..., None], jnp.uint8(0), rgb)
-    # per-slot cut-out views. NOTE: all copies read the PRISTINE frame
-    # (the staged path cuts sequentially, so a later track's copy mask
-    # reads a view earlier tracks already deleted from; overlapping car
-    # masks are the only case where that differs)
+    # per-slot cut-out views with SEQUENTIAL-cut semantics for
+    # overlapping masks: the staged path (ProcessSilhouette_CPU order,
+    # InstanceReconstructor.cpp:59-170) copies each track's pixels from
+    # a view earlier tracks already deleted from, so an overlapped pixel
+    # lands in exactly ONE instance view — the earliest slot whose
+    # delete mask covers it. Reproduced here by masking each crop with
+    # earlier removing slots' delete bits (tests/test_fused_dynamic.py
+    # pins no-double-fusion on two overlapping car masks).
     if "cut" in profile_skip:
         depth_cut, rgb_cut = depth_m, rgb
         new_pending_depth = carry.pending_depth
@@ -382,6 +389,7 @@ def fused_dynamic_step(
         CH = carry.pending_depth.shape[1]
         CW = carry.pending_depth.shape[2]
         cbits_i = copy_bits.astype(jnp.int32)
+        dbits_i = delete_bits.astype(jnp.int32)
 
         def crop_one(j):
             bb = copy_bbox[j]
@@ -398,11 +406,13 @@ def fused_dynamic_step(
             dpc = jax.lax.dynamic_slice(depth_m, (v0, u0), (CH, CW))
             rgbc = jax.lax.dynamic_slice(rgb, (v0, u0, 0), (CH, CW, 3))
             bitc = jax.lax.dynamic_slice(cbits_i, (v0, u0), (CH, CW))
-            # NOTE: every crop reads the PRISTINE frame (the staged path
-            # cuts sequentially, so a later track's copy mask reads a
-            # view earlier tracks already deleted from; overlapping car
-            # masks are the only case where that differs)
-            selc = (((bitc >> j) & 1) == 1) & (action[j] == ACTION_CUT)
+            dbitc = jax.lax.dynamic_slice(dbits_i, (v0, u0), (CH, CW))
+            # sequential-cut exclusivity: pixels an EARLIER removing
+            # slot's delete mask covers were already deleted when the
+            # staged path reached this track's copy
+            earlier = (dbitc & rem_bits & ((1 << j) - 1)) != 0
+            selc = (((bitc >> j) & 1) == 1) & (action[j] == ACTION_CUT) \
+                & ~earlier
             return (
                 jnp.where(selc, dpc, 0.0),
                 jnp.where(selc[..., None], rgbc, jnp.uint8(0)),
@@ -463,20 +473,34 @@ def fused_dynamic_step(
         cfg, carry.state, grid, origin, depth_cut, c2w, carry.frame_idx
     )
     slots, mask = tsdf.visible_blocks(cfg, state, grid, origin, pose_w2c)
-    if use_pallas:
+    if "integrate" in profile_skip:
+        pass  # cost attribution only: fuse nothing this frame
+    elif use_pallas:
         from dynslam_tpu.ops.pallas_integrate import integrate_pallas
-        from dynslam_tpu.ops.pallas_raycast import raycast_tiled
 
         state = integrate_pallas(
             cfg, state, slots, mask, rgb_cut, depth_cut, pose_w2c,
             carry.frame_idx,
         )
-        rc = raycast_tiled(cfg, state, slots, mask, origin, c2w, intr_vec)
     else:
         state = tsdf.integrate(
             cfg, state, slots, mask, rgb_cut, depth_cut, pose_w2c,
             carry.frame_idx,
         )
+    if "raycast" in profile_skip:
+        rc = tsdf.Raycast(
+            depth=jnp.zeros((h, w), jnp.float32),
+            points=jnp.zeros((h, w, 3), jnp.float32),
+            color=jnp.zeros((h, w, 3), jnp.uint8),
+            weight=jnp.zeros((h, w), jnp.float32),
+            hit=jnp.zeros((h, w), bool),
+            march_samples=jnp.int32(0),
+        )
+    elif use_pallas:
+        from dynslam_tpu.ops.pallas_raycast import raycast_tiled
+
+        rc = raycast_tiled(cfg, state, slots, mask, origin, c2w, intr_vec)
+    else:
         rc = tsdf.raycast(cfg, state, grid, origin, c2w, intr_vec)
 
     next_idx = carry.frame_idx + 1
@@ -879,8 +903,22 @@ class FusedDynamicPipeline:
                     warm_tr[j] = f.relative_pose_tr
                     break
             if track.state == TrackState.UNCERTAIN:
-                act = ACTION_REMOVE if det.is_possibly_dynamic() \
-                    else ACTION_KEEP
+                # SPECULATIVE cut for reconstructable classes: the view
+                # removal is identical to ACTION_REMOVE (CUT implies
+                # REMOVE on device), but the copy-mask crop lands in the
+                # pending buffer so that IF the deferred tracker pass
+                # certifies the track at this very frame (fresh state,
+                # one fetch later), the transition frame's view still
+                # fuses — eliminating the one-frame (lag 1) / two-frame
+                # (lag 2) transition loss vs the staged path. Crops of
+                # tracks that stay Uncertain are never routed to a slot
+                # and simply age out of the pending buffer.
+                if det.is_reconstructable():
+                    act = ACTION_CUT
+                elif det.is_possibly_dynamic():
+                    act = ACTION_REMOVE
+                else:
+                    act = ACTION_KEEP
             elif track.state == TrackState.DYNAMIC or always:
                 if det.is_reconstructable():
                     act = ACTION_CUT
@@ -1161,6 +1199,10 @@ class FusedDynamicPipeline:
             slot = track.reconstruction.slot
             vol_c2w[slot] = np.linalg.inv(vol_w2c).astype(np.float32)
             active[slot] = True
+        self.evaluation.log_tracker(
+            frame_no, len(self.tracker.active_tracks), int(active.sum()),
+            self._dropped_detections,
+        )
         self._eval_pending = (
             frame_no, outputs.raycast.depth, outputs.depth_m, assoc,
             vol_c2w, active, used_blocks, decayed_blocks,
@@ -1242,6 +1284,11 @@ class FusedDynamicPipeline:
 
     def get_dropped_allocation_count(self) -> int:
         return int(self.carry.dropped)
+
+    def get_dropped_detection_count(self) -> int:
+        """Cumulative possibly-dynamic detections beyond the K mask slots
+        (logged per frame; the reference processes every detection)."""
+        return self._dropped_detections
 
     def reconstructed_objects(self) -> List[int]:
         """Track ids with a live reconstruction volume."""

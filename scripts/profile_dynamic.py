@@ -31,6 +31,9 @@ VARIANTS = {
     "noransac": ("obj_ransac",),
     "nocut": ("cut",),
     "nodyn": ("instances", "obj_ransac", "cut"),
+    # static-side attribution (the stages both modes share)
+    "nointegrate": ("instances", "obj_ransac", "cut", "integrate"),
+    "noraycast": ("instances", "obj_ransac", "cut", "raycast"),
 }
 
 
@@ -73,7 +76,7 @@ def main():
             scene=SceneParams(voxel_size_m=0.05, mu_m=0.30),
             map=MapParams(pool_capacity=2 ** 17, local_dims=(160, 48, 160),
                           max_new_blocks_per_frame=8192),
-            instance_map=InstanceMapParams(max_objects=4),
+            instance_map=InstanceMapParams(max_objects=4, max_detections=4),
             stereo=StereoMatcherParams(max_disparity=128),
             vo=VisualOdometryParams(),
             decay=VoxelDecayParams(enabled=True, min_decay_age=200,
@@ -95,7 +98,7 @@ def main():
         ]
         masks_dev = []
         for i in range(N):
-            db, cb = engine.pack_mask_bits(dets[i], H, W)
+            db, cb = engine.pack_mask_bits(dets[i], H, W, engine.K)
             masks_dev.append((jnp.asarray(db), jnp.asarray(cb)))
         left_dev = [jnp.asarray(x, jnp.float32) for x in ln]
         right_dev = [jnp.asarray(x, jnp.float32) for x in rn]

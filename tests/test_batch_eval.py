@@ -100,3 +100,51 @@ def test_batch_eval_matches_single_sequence():
     np.testing.assert_array_equal(
         np.asarray(states.tsdf_w[0]), np.asarray(st.tsdf_w)
     )
+
+
+def test_dynamic_batch_eval_matches_single_sequence():
+    """The sharded DYNAMIC step (cut + static fuse + instance fuse +
+    composited eval) reproduces the unsharded single-sequence result —
+    the multichip dryrun's flagship-path coverage (VERDICT r3 item 8)."""
+    import dataclasses
+
+    mesh = sharding.make_mesh(2, model_axis=1)
+    cfg = _tiny_cfg()
+    icfg = dataclasses.replace(
+        cfg, pool_capacity=512, local_dims=(16, 12, 16),
+        max_new_blocks=256, max_visible_blocks=512,
+    )
+    frames = _frames(cfg, 2, 2)
+    h, w = cfg.height, cfg.width
+    m = np.zeros((2, 2, h, w), bool)
+    m[:, :, h // 3: h // 2, w // 3: w // 2] = True
+    frames["obj_mask"] = jnp.asarray(m)
+
+    run = batch_eval.make_dynamic_batch_eval(cfg, icfg, mesh)
+    states = (batch_eval.stacked_states(cfg, 2),
+              batch_eval.stacked_states(icfg, 2))
+    with mesh:
+        states, metrics = run(states, batch_eval.shard_frames(mesh, frames))
+    metrics = np.asarray(metrics)
+    assert metrics.shape == (2, 2, 3)
+    assert np.isfinite(metrics).all()
+    assert (metrics[-1, :, 2] > 0.5).all()  # composited coverage
+
+    st = tsdf.create_state(cfg)
+    it = tsdf.create_state(icfg)
+    for t in range(2):
+        (st, it), (err, derr, cov) = batch_eval._dynamic_fusion_eval_step(
+            cfg, icfg, st, it,
+            frames["rgb"][t, 0], frames["depth"][t, 0],
+            frames["obj_mask"][t, 0],
+            frames["cam_to_world"][t, 0], frames["world_to_cam"][t, 0],
+            jnp.int32(t),
+        )
+    np.testing.assert_allclose(metrics[-1, 0, 0], float(err), rtol=1e-5)
+    np.testing.assert_allclose(metrics[-1, 0, 1], float(derr), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(states[0].tsdf_w[0]), np.asarray(st.tsdf_w)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(states[1].tsdf_w[0]), np.asarray(it.tsdf_w)
+    )

@@ -31,7 +31,7 @@ def dynamic_config():
                       max_new_blocks_per_frame=4096),
         instance_map=InstanceMapParams(
             blocks_per_object=1024, local_dims=(48, 24, 64),
-            max_new_blocks_per_frame=512,
+            max_new_blocks_per_frame=512, max_detections=8,
         ),
         vo=VisualOdometryParams(max_candidates=1024, max_matches=512,
                                 ransac_iters=60, max_disparity=64),

@@ -132,6 +132,13 @@ def test_fused_dynamic_eval_composited(tmp_path, lag):
     )
     mem = _rows_by_frame(csv_dir, "*-memory.csv", key="frame_id")
     assert len(mem) == len(uni)
+    # tracker telemetry: active/reconstructed counts + cumulative drops
+    trk = _rows_by_frame(csv_dir, "*-tracker.csv", key="frame_id")
+    assert len(trk) == len(uni)
+    last = trk[max(trk)]
+    assert int(last["active_tracks"]) >= 1
+    assert int(last["reconstructed_tracks"]) >= 1
+    assert int(last["dropped_detections_cum"]) == 0
 
 
 def test_fused_eval_rejects_delay(tmp_path):
