@@ -159,10 +159,11 @@ def main_dynamic():
         decay=VoxelDecayParams(enabled=True, min_decay_age=200,
                                max_decay_weight=1),
     )
-    # --lag2: the dispatch_lag=2 protocol (device never idles on the
-    # packed fetch; tracker decisions one frame staler — semantics
-    # pinned equivalent by tests/test_fused_dynamic.py)
-    lag = 2 if "--lag2" in sys.argv else 1
+    # lag 2 (default): the device never idles on the packed fetch;
+    # tracker decisions one frame staler — semantics pinned equivalent
+    # by tests/test_fused_dynamic.py. --lag1 opts back in to the
+    # fetch-before-dispatch protocol.
+    lag = 1 if "--lag1" in sys.argv else 2
     engine = FusedDynamicPipeline(cfg, calib, dispatch_lag=lag)
     engine.verbose_tracker = "--verbose" in sys.argv
     print(f"[bench] dispatch_lag={lag}", file=sys.stderr)
