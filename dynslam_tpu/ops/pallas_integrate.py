@@ -60,8 +60,11 @@ BLOCKS_PER_STEP = 8
 #: fixed row capacity of the near tier (full-image window kernel)
 NEAR_FULL_CAP = 1024
 #: debug knob for cost attribution (profiling only): "copy" forces every
-#: block through the copy path, "fast" through the free-space path
-_FORCE_MODE = None
+#: block through the copy path, "fast" through the free-space path.
+#: Env override for hardware runs: DYNSLAM_INTEGRATE_FORCE=copy
+import os as _os  # noqa: E402
+
+_FORCE_MODE = _os.environ.get("DYNSLAM_INTEGRATE_FORCE") or None
 #: blocks per grid step in the near tier (bigger per-block temporaries)
 NEAR_BLOCKS_PER_STEP = 4
 
