@@ -71,15 +71,11 @@ import os as _os  # noqa: E402
 
 K_MID = int(_os.environ.get("DYNSLAM_K_MID", "0"))
 
-#: paired-sample march: each serialized march step samples TWO ray
-#: positions (t, t+dt) in ONE one-hot MXU contraction (the one-hots
-#: stack on the sublane axis). Per-step cost is dominated by
-#: KE-independent work — the (TILE_H, TILE_W, 128) contraction output,
-#: the lane select, and the step bookkeeping (why the K_MID tier
-#: measured neutral) — so pairing halves the serialized step count
-#: where marching is dt-limited at near-constant per-step cost.
-#: Env A/B: DYNSLAM_RAY_PAIR=0 python bench.py
-RAY_PAIR = int(_os.environ.get("DYNSLAM_RAY_PAIR", "0"))
+#: (A paired-sample march — two ray positions per serialized step with
+#: the one-hots stacked on the sublane axis — was built and measured on
+#: hardware: 6.6 vs 9.9 FPS end-to-end static. The doubled contraction
+#: is real MXU work, not amortized fixed cost; the variant was removed.
+#: See PERFORMANCE.md "measured dead ends".)
 
 _BIG = 1e9
 
@@ -189,7 +185,7 @@ def build_candidates(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_factory(cfg: T.TsdfConfig, n_steps: int, pair: bool = False):
+def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
     K = cfg.raycast_cand_k
     voxel = cfg.voxel_size
     dxd, dyd, dzd = cfg.local_dims
@@ -356,32 +352,6 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int, pair: bool = False):
         lane_iota = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W, 128), 2
         )
-        lane_iota2 = jax.lax.broadcasted_iota(
-            jnp.int32, (2 * TILE_H, TILE_W, 128), 2
-        )
-
-        def sample_table_pair(t_a, t_b, table, lq):
-            """One-hot MXU sampling at TWO ray positions in one
-            contraction: the two sample planes stack on the sublane
-            axis, so the dot's KE-independent fixed cost (the
-            (TILE_H, TILE_W, 128) output + lane select) is paid once
-            for both samples. Returns (sdf-ready vals/in-candidate for
-            a and b)."""
-            lin_a, lane_a = sample_ids(t_a)
-            lin_b, lane_b = sample_ids(t_b)
-            lin2 = jnp.concatenate([lin_a, lin_b], axis=0)
-            lane2 = jnp.concatenate([lane_a, lane_b], axis=0)
-            oh = (lin2[:, :, None] == lq).astype(table.dtype)
-            w1 = jax.lax.dot_general(
-                oh, table, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (2*TILE_H, TILE_W, 128)
-            ohl = (lane_iota2 == lane2[:, :, None]).astype(jnp.float32)
-            val = jnp.sum(w1 * ohl, axis=2)
-            inany = jnp.sum(oh.astype(jnp.float32), axis=2)
-            return (val[:TILE_H], inany[:TILE_H],
-                    val[TILE_H:], inany[TILE_H:])
-
         def sample_table(t_s, table, linq_k=None):
             """One-hot MXU sampling of `table` ((KE*4,128)) at the nearest
             voxel; returns (value, in_candidate). The contraction runs in
@@ -422,65 +392,6 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int, pair: bool = False):
             scans or the one-hot contraction."""
             table_k = sdf_tab_bf[: KE * 4]
             linq_k = linq[:, :, : KE * 4]
-
-            def march_pair(s, _):
-                @pl.when(done_s[0, 0] == 0)
-                def _step():
-                    steps_out_ref[ty, tx] = steps_out_ref[ty, tx] + 1
-                    t_a = t_s[:]
-                    t_b = jnp.minimum(t_a + dt, t_cap)
-                    va, ia, vb, ib = sample_table_pair(
-                        t_a, t_b, table_k, linq_k
-                    )
-                    sdf_a = va + (1.0 - ia)
-                    sdf_b = vb + (1.0 - ib)
-                    prev_sdf = psdf_s[:]
-                    prev_t = jnp.maximum(pt_s[:], t_a - 1.5 * dt)
-                    no_hit = bh_s[:] >= _BIG
-                    # crossing in (prev, a] then (a, b] — first wins
-                    cr_a = (prev_sdf > 0.0) & (sdf_a <= 0.0) \
-                        & (t_a < t_max_hard) & (t_a > 0.0) & no_hit
-                    fr_a = prev_sdf / jnp.maximum(prev_sdf - sdf_a, 1e-6)
-                    ht_a = prev_t + (t_a - prev_t) * fr_a
-                    cr_b = (sdf_a > 0.0) & (sdf_b <= 0.0) \
-                        & (t_b < t_max_hard) & (t_b > 0.0) \
-                        & no_hit & jnp.logical_not(cr_a)
-                    fr_b = sdf_a / jnp.maximum(sdf_a - sdf_b, 1e-6)
-                    ht_b = t_a + (t_b - t_a) * fr_b
-                    bh_s[:] = jnp.where(
-                        cr_a, ht_a, jnp.where(cr_b, ht_b, bh_s[:])
-                    )
-                    bc_s[:] = jnp.where(
-                        cr_a, t_a, jnp.where(cr_b, t_b, bc_s[:])
-                    )
-                    psdf_s[:] = sdf_b
-                    pt_s[:] = t_b
-
-                    # next placement from the FURTHER sample (same
-                    # sphere-trace rule; the pair's dense t_a/t_b spacing
-                    # only adds safety)
-                    tn = t_b + jnp.maximum(sdf_b * (0.9 * mu_step), dt)
-                    tin = tin_s[:KE]
-                    tout = tout_s[:KE]
-                    covered = jnp.any(
-                        (tin <= tn[None]) & (tn[None] <= tout), axis=0
-                    )
-                    entry = jnp.min(
-                        jnp.where(tin > t_b[None] + 0.25 * dt, tin, _BIG),
-                        axis=0,
-                    )
-                    t_nxt = jnp.minimum(
-                        jnp.where(
-                            covered, tn,
-                            jnp.maximum(entry - 0.25 * dt, t_b + 0.5 * dt),
-                        ),
-                        t_cap,
-                    )
-                    t_s[:] = t_nxt
-                    settled = (bh_s[:] < _BIG) | (t_nxt >= t_cap - 1e-3)
-                    done_s[0, 0] = jnp.all(settled).astype(jnp.int32)
-
-                return 0
 
             def march(s, _):
                 @pl.when(done_s[0, 0] == 0)
@@ -542,10 +453,7 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int, pair: bool = False):
 
                 return 0
 
-            if pair:
-                jax.lax.fori_loop(0, n_steps, march_pair, 0, unroll=False)
-            else:
-                jax.lax.fori_loop(0, n_steps, march, 0, unroll=False)
+            jax.lax.fori_loop(0, n_steps, march, 0, unroll=False)
 
         k_mid = K_MID if K_LIGHT < K_MID < K else 0
         if K > K_LIGHT and k_mid:
@@ -598,7 +506,7 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int, pair: bool = False):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret", "pair"))
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
 def raycast_tiled(
     cfg: T.TsdfConfig,
     state: T.TsdfState,
@@ -608,12 +516,9 @@ def raycast_tiled(
     cam_to_world: jnp.ndarray,
     intrinsics: jnp.ndarray,  # (4,) fx, fy, cx, cy
     interpret: bool = False,
-    pair: bool = None,  # None -> module default RAY_PAIR
 ) -> T.Raycast:
     """Drop-in replacement for ops.tsdf.raycast at the configured frame
     size (free-camera / rescaled renders use the XLA path)."""
-    if pair is None:
-        pair = bool(RAY_PAIR)
     P = cfg.pool_capacity
     K = cfg.raycast_cand_k
     ty_n, tx_n = _tile_counts(cfg)
@@ -676,7 +581,7 @@ def raycast_tiled(
 
     hp, wp = ty_n * TILE_H, tx_n * TILE_W
     t_img, color_bits, weight, tile_steps = pl.pallas_call(
-        _kernel_factory(cfg, n_steps, pair=pair),
+        _kernel_factory(cfg, n_steps),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
@@ -712,7 +617,5 @@ def raycast_tiled(
     )
     return T.Raycast(
         depth=t_img, points=points, color=color, weight=weight, hit=hit,
-        # each paired step samples two ray positions
-        march_samples=jnp.sum(tile_steps) * (TILE_H * TILE_W)
-        * (2 if pair else 1),
+        march_samples=jnp.sum(tile_steps) * (TILE_H * TILE_W),
     )

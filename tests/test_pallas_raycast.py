@@ -271,35 +271,3 @@ def test_mid_tier_branch_exact():
     assert (np.asarray(rc_spec.weight) == np.asarray(rc_full.weight)).all()
     assert (np.asarray(rc_spec.hit) == np.asarray(rc_full.hit)).all()
 
-
-def test_paired_march_matches_single():
-    """DYNSLAM_RAY_PAIR / pair=True: the paired-sample march (two ray
-    positions per serialized step, one MXU contraction) must keep the
-    single-sample march's coverage and depth accuracy. The two marches
-    place samples on different t grids after the first sphere step, so
-    ~1% of grazing rays flip either way — coverage must not REGRESS
-    (measured: paired finds slightly MORE hits)."""
-    cfg = _cfg()
-    state, grid, origin, slots, mask, eye, depth_in = _fuse_frames(cfg)
-    intr = jnp.asarray([cfg.fx, cfg.fy, cfg.cx, cfg.cy], jnp.float32)
-
-    single = raycast_tiled(cfg, state, slots, mask, origin, eye, intr,
-                           interpret=True, pair=False)
-    paired = raycast_tiled(cfg, state, slots, mask, origin, eye, intr,
-                           interpret=True, pair=True)
-    hs = np.asarray(single.hit)
-    hp = np.asarray(paired.hit)
-    assert hp[hs].mean() > 0.985, (
-        f"paired march lost {100 * (1 - hp[hs].mean()):.2f}% of hits"
-    )
-    assert hp.sum() >= 0.995 * hs.sum(), (hp.sum(), hs.sum())
-    both = hs & hp
-    dd = np.abs(np.asarray(single.depth)[both] - np.asarray(paired.depth)[both])
-    assert np.median(dd) < 0.5 * cfg.voxel_size
-    assert np.percentile(dd, 95) < 2 * cfg.voxel_size
-    # accuracy vs the fused surface must not regress
-    din = np.asarray(depth_in)
-    errp = np.abs(np.asarray(paired.depth) - din)[hp & (din < 14.0)]
-    assert np.median(errp) < cfg.voxel_size
-    # telemetry counts two samples per paired step
-    assert int(paired.march_samples) > 0
