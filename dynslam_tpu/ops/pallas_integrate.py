@@ -76,6 +76,19 @@ NEAR_BLOCKS_PER_STEP = 4
 TILE_H = 16
 TILE_W = 128
 
+#: small fast-path window (rows, cols): blocks whose in-image bbox
+#: provably fits take a 64x128 window — the per-block cost (column
+#: one-hot build + the two depth dots + the row sample) scales with the
+#: window, so this is ~2.5x cheaper than the 128x256 full path. The
+#: 128-lane alignment that forced the 256-wide window is sidestepped by
+#: a second, column-shifted-by-64 copy of every image plane (stacked on
+#: the row axis): one of the two copies always has a 128-aligned window
+#: with >= 32 px of column margin around any <= 64 px-wide footprint.
+#: Eligibility is an EXACT bbox-containment test against the chosen
+#: window, so no voxel is ever silently excluded.
+SMALL_H = 64
+SMALL_W = 128
+
 
 def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
                     img_h: int, img_w: int, r_tiles: int, c_tiles: int):
@@ -106,18 +119,19 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
         tmin_ref,  # (nty, ntx) f32, SMEM: per-tile min of the depth hi byte
         tmax_ref,  # (nty, ntx) f32, SMEM: per-tile max
         vox_ref,  # (3, 4, 128) f32 planar in-block voxel offsets, VMEM
-        hi_ref,  # (Hp, Wp) bf16: depth mm >> 8 (VMEM, resident)
-        lo_ref,  # (Hp, Wp) bf16: depth mm & 0xFF
-        r_ref,  # (Hp, Wp) bf16: red
-        g_ref,  # (Hp, Wp) bf16: green
-        b_ref,  # (Hp, Wp) bf16: blue
+        hi_ref,  # (2*Hp, Wp) bf16: depth mm >> 8; rows [Hp:) hold the
+        # column-shifted-by-64 copy for the small fast path (VMEM)
+        lo_ref,  # (2*Hp, Wp) bf16: depth mm & 0xFF (same stacking)
+        r_ref,  # (2*Hp, Wp) bf16: red
+        g_ref,  # (2*Hp, Wp) bf16: green
+        b_ref,  # (2*Hp, Wp) bf16: blue
         tsdfw_ref,  # (B, 4, 128) int32 — this step's compacted rows
         color_ref,  # (B, 4, 128) int32
         out_tsdfw_ref,  # (B, 4, 128) int32
         out_color_ref,  # (B, 4, 128) int32
     ):
         i = pl.program_id(0)
-        h = hi_ref.shape[0]
+        h = hi_ref.shape[0] // 2  # per-copy padded rows (planes stacked)
         w = hi_ref.shape[1]
         fx = intr_ref[0, 0]
         fy = intr_ref[0, 1]
@@ -141,14 +155,6 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
                           w - win_w)
             u0 = pl.multiple_of((u0 // 128) * 128, 128)
             return v0, u0
-
-        def _localize(d, v0, u0):
-            lu = d["ui"] - u0
-            lv = d["vi"] - v0
-            in_win = d["in_img"] & (lu >= 0) & (lu < win_w) & (lv >= 0) \
-                & (lv < win_h)
-            return (jnp.clip(lu, 0, win_w - 1),
-                    jnp.clip(lv, 0, win_h - 1), in_win)
 
         def _apply_update(bi, d, d_mm, upd):
             """TSDF blend for one block given sampled depth (mm); writes
@@ -187,40 +193,47 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
                 jnp.clip(new_ch + 0.5, 0, 255).astype(jnp.int32) << shift
             )
 
-        def _single_full(bi, d):
-            """Windowed one-hot sampling + blend for one block (the
-            original per-block path; also the pair fallback)."""
-            v0, u0 = _window_at(d["su"], d["sv"], 1)
-            lu, lv, in_win = _localize(d, v0, u0)
-            # one-hot sampling in the outer-dim layout: both one-hots
-            # keep the voxel planes in their native (4, 128) minor dims
-            # and broadcast along the cheap OUTER dim, so no relayout
-            # ever touches a per-voxel plane
-            cid = jax.lax.broadcasted_iota(jnp.int32, (win_w, 4, 128), 0)
+        def _windowed(bi, d, rs, v0, u0r, u_left, wh, ww):
+            """One-hot sampling + blend of a (wh, ww) window read at ref
+            rows [rs, rs+wh) x cols [u0r, u0r+ww) — rs selects the
+            original (rs = v0) or the column-shifted copy (rs = h + v0),
+            u_left is the window's left edge in ORIGINAL image columns.
+
+            One-hot sampling runs in the outer-dim layout: both one-hots
+            keep the voxel planes in their native (4, 128) minor dims
+            and broadcast along the cheap OUTER dim, so no relayout
+            ever touches a per-voxel plane."""
+            lu = d["ui"] - u_left
+            lv = d["vi"] - v0
+            in_win = d["in_img"] & (lu >= 0) & (lu < ww) & (lv >= 0) \
+                & (lv < wh)
+            lu = jnp.clip(lu, 0, ww - 1)
+            lv = jnp.clip(lv, 0, wh - 1)
+            cid = jax.lax.broadcasted_iota(jnp.int32, (ww, 4, 128), 0)
             onehot_u = (cid == lu[None]).astype(jnp.bfloat16)
 
             def colsel(win):
-                # (win_h, win_w) x (win_w, 4, 128) -> (win_h, 4, 128)
+                # (wh, ww) x (ww, 4, 128) -> (wh, 4, 128)
                 return jax.lax.dot_general(
                     win, onehot_u,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
 
-            rid = jax.lax.broadcasted_iota(jnp.int32, (win_h, 4, 128), 0)
+            rid = jax.lax.broadcasted_iota(jnp.int32, (wh, 4, 128), 0)
             onehot_v = (rid == lv[None]).astype(jnp.float32)
 
             def sample(cols):
                 return jnp.sum(cols * onehot_v, axis=0)  # (4, 128)
 
             if _FORCE_MODE == "fixedwin":  # profiling: hoistable slices
-                v0 = pl.multiple_of(v0 * 0, 8)
-                u0 = pl.multiple_of(u0 * 0, 128)
-            win_hi = hi_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+                rs = pl.multiple_of(rs * 0, 8)
+                u0r = pl.multiple_of(u0r * 0, 128)
+            win_hi = hi_ref[pl.ds(rs, wh), pl.ds(u0r, ww)]
             if _FORCE_MODE == "onedepth":  # profiling: 1 slice + 1 dot
                 d_mm = sample(colsel(win_hi) * 257.0)
             else:
-                win_lo = lo_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+                win_lo = lo_ref[pl.ds(rs, wh), pl.ds(u0r, ww)]
                 d_mm = sample(colsel(win_hi) * 256.0 + colsel(win_lo))
             ctx = _apply_update(bi, d, d_mm, in_win)
 
@@ -234,11 +247,49 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
             def _blend_color():
                 c_acc = jnp.int32(0)
                 for shift, ch_ref in ((16, r_ref), (8, g_ref), (0, b_ref)):
-                    win_ch = ch_ref[pl.ds(v0, win_h), pl.ds(u0, win_w)]
+                    win_ch = ch_ref[pl.ds(rs, wh), pl.ds(u0r, ww)]
                     c_acc = _blend_channel(
                         bi, ctx, sample(colsel(win_ch)), shift, c_acc
                     )
                 out_color_ref[bi] = c_acc
+
+        def _single_full(bi, d):
+            """Full-window path: any footprint the tier admits."""
+            v0, u0 = _window_at(d["su"], d["sv"], 1)
+            _windowed(bi, d, v0, v0, u0, u0, win_h, win_w)
+
+        def _small_params(d):
+            """(fits, rs, v0, u0r, u_left) for the SMALL_H x SMALL_W
+            fast path. `fits` is an EXACT containment test of the
+            block's in-image bbox against the window actually chosen
+            (after clipping), so eligibility can never drop a voxel
+            the full path would have updated."""
+            vcen = (d["vmin"] + d["vmax"]) // 2
+            ucen = (d["umin"] + d["umax"]) // 2
+            v0 = jnp.clip(((vcen - SMALL_H // 2 + 4) // 8) * 8,
+                          0, h - SMALL_H)
+            v0 = pl.multiple_of(v0, 8)
+            # two 128-aligned column candidates: copy A (original) and
+            # copy B (shifted left by 64) — one of them always centres
+            # a <= 64 px footprint with >= 32 px margin
+            u0a = jnp.clip((ucen // 128) * 128, 0, w - SMALL_W)
+            u0a = pl.multiple_of(u0a, 128)
+            u0b = jnp.clip(((ucen - 64) // 128) * 128, 0, w - SMALL_W)
+            u0b = pl.multiple_of(u0b, 128)
+            rows_ok = (d["vmin"] >= v0) & (d["vmax"] < v0 + SMALL_H)
+            in_a = (d["umin"] >= u0a) & (d["umax"] < u0a + SMALL_W)
+            in_b = (d["umin"] >= u0b + 64) \
+                & (d["umax"] < u0b + 64 + SMALL_W)
+            sel = in_b & jnp.logical_not(in_a)
+            fits = rows_ok & (in_a | in_b) & (d["vmax"] >= d["vmin"])
+            if _FORCE_MODE == "nosmall":  # profiling: A/B the fast path
+                fits &= jnp.bool_(False)
+            u0r = jnp.where(sel, u0b, u0a)
+            u0r = pl.multiple_of(u0r, 128)
+            u_left = jnp.where(sel, u0b + 64, u0a)
+            rs = jnp.where(sel, h + v0, v0)
+            rs = pl.multiple_of(rs, 8)
+            return fits, rs, v0, u0r, u_left
 
         # NOTE: a paired-block variant (two depth-neighbor blocks sharing
         # one window, one (win_w, 8, 128) one-hot + one dot serving both)
@@ -373,11 +424,21 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
             infos.append(dict(
                 z=z, in_img=in_img, ui=ui, vi=vi,
                 su=jnp.sum(u), sv=jnp.sum(v), full=full,
+                vmin=vmin_i, vmax=vmax_i, umin=umin_i, umax=umax_i,
             ))
 
-          # ---- phase 2: windowed full sampling for the surviving blocks
+          # ---- phase 2: windowed sampling for the surviving blocks —
+          # small fast path when the in-image bbox provably fits,
+          # full window otherwise
           for bi in range(B):
-            pl.when(infos[bi]["full"])(
+            fits, rs, v0, u0r, u_left = _small_params(infos[bi])
+            pl.when(infos[bi]["full"] & fits)(
+                lambda bi_=bi, d=infos[bi], rs_=rs, v0_=v0, u0r_=u0r,
+                ul_=u_left: _windowed(
+                    bi_, d, rs_, v0_, u0r_, ul_, SMALL_H, SMALL_W
+                )
+            )
+            pl.when(infos[bi]["full"] & jnp.logical_not(fits))(
                 lambda bi_=bi, d=infos[bi]: _single_full(bi_, d)
             )
 
@@ -501,18 +562,31 @@ def integrate_pallas(
     wp = max(-(-w // TILE_W) * TILE_W, WIN_W)
     depth_mm_i = jnp.clip(depth_m * 1000.0, 0, 65535).astype(jnp.int32)
     pad = lambda a: jnp.pad(a, ((0, hp - h), (0, wp - w)))
-    planes = (
+    base_planes = (
         pad((depth_mm_i >> 8).astype(jnp.bfloat16)),
         pad((depth_mm_i & 0xFF).astype(jnp.bfloat16)),
         pad(rgb[..., 0].astype(jnp.bfloat16)),
         pad(rgb[..., 1].astype(jnp.bfloat16)),
         pad(rgb[..., 2].astype(jnp.bfloat16)),
     )
+    # stack a column-shifted-by-64 copy under each plane (rows [hp:)):
+    # the kernel's SMALL fast path picks whichever copy 128-aligns its
+    # 64x128 window around the block's footprint. Shifted-in columns
+    # are zero (depth 0 = invalid), and they only ever enter a window
+    # for columns >= wp, which the in-image test already excludes.
+    planes = tuple(
+        jnp.concatenate(
+            [p, jnp.pad(p[:, 64:], ((0, 0), (0, 64)))], axis=0
+        )
+        for p in base_planes
+    )
 
     # per-tile min/max of the depth hi byte (SMEM in the kernel): bound
     # any block's sampled pixels by the tiles covering its footprint
     nty, ntx = hp // TILE_H, wp // TILE_W
-    hi_t = planes[0].astype(jnp.float32).reshape(nty, TILE_H, ntx, TILE_W)
+    hi_t = base_planes[0].astype(jnp.float32).reshape(
+        nty, TILE_H, ntx, TILE_W
+    )
     stats = (hi_t.min(axis=(1, 3)), hi_t.max(axis=(1, 3)))
     # max tiles a block's sampled bbox can span: in_win clamps sampled
     # voxels to the window, so the window extent is a strict bound

@@ -141,3 +141,34 @@ class TestWideImageParity:
         # updated rows saw a pure +1-weight/sdf->1 update with no color
         w_ref = np.asarray(ref.weight)[sel]
         assert (w_ref > 0).any()
+
+    def test_small_window_path_exact(self, monkeypatch):
+        """The SMALL_H x SMALL_W fast path must be byte-identical to the
+        full-window path. Non-vacuous on this scene: far-wall blocks at
+        z = 12 m have ~8 px footprints, and a <= 64 px-wide in-image
+        bbox always fits one of the two 128-aligned column candidates
+        (copy A when ucen mod 128 is in [32, 96), the shifted copy B
+        otherwise; edge clipping hugs the bbox), so `fits` provably
+        holds for them."""
+        import dynslam_tpu.ops.pallas_integrate as pi
+
+        cfg = self.CFG2
+        state, slots, mask, rgb, depth = self._prepared()
+        w2c = jnp.eye(4)
+
+        def run():
+            integrate_pallas.clear_cache()
+            return integrate_pallas(cfg, state, slots, mask, rgb, depth,
+                                    w2c, jnp.int32(1), interpret=True)
+
+        out_small = run()
+        monkeypatch.setattr(pi, "_FORCE_MODE", "nosmall")
+        out_full = run()
+        monkeypatch.undo()
+        integrate_pallas.clear_cache()
+        np.testing.assert_array_equal(
+            np.asarray(out_small.tsdf_w), np.asarray(out_full.tsdf_w)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_small.color), np.asarray(out_full.color)
+        )
