@@ -78,6 +78,10 @@ ACTION_KEEP = 0
 ACTION_REMOVE = 1
 ACTION_CUT = 2
 
+#: per-mask match rows fed to the object RANSAC (matches beyond the cap
+#: are dropped; bucketed detection caps keep real masks well below it)
+OBJ_MATCH_CAP = 256
+
 
 class FusedDynCarry(NamedTuple):
     """Device-resident cross-frame state (static fields mirror
@@ -340,8 +344,16 @@ def fused_dynamic_step(
             & (vp >= bb[1]) & (vp <= bb[3])
         valid_j = valid & sel & mask_gate[j]
         count_j = jnp.sum(valid_j)
+        # compact the mask's matches to OBJ_MATCH_CAP rows before the
+        # solver: every RANSAC scoring / GN / IRLS pass is elementwise
+        # over the row count, and per-object match sets are tiny (a
+        # 200x150 px mask holds <= ~180 bucketed matches), so running
+        # them over the full (N,) flow paid ~8x the needed work per
+        # mask. Row sets identical; only the PRNG draw order differs.
+        idx = jnp.nonzero(valid_j, size=OBJ_MATCH_CAP, fill_value=0)[0]
+        vmask = jnp.arange(OBJ_MATCH_CAP) < count_j
         est_j = ego_ops.estimate_motion(
-            flow, valid_j, calib_vec, k_j, warm_tr[j], obj_params
+            flow[idx], vmask, calib_vec, k_j, warm_tr[j], obj_params
         )
         return est_j.tr, est_j.success, est_j.num_inliers, count_j
 
