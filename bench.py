@@ -8,8 +8,10 @@ sparse scene flow + RANSAC visual odometry, TSDF block allocation +
 fusion, full-frame raycast, voxel decay. Synthetic frames are pre-rendered
 (and cached) so the number reflects the framework, not numpy raytracing.
 
-`python bench.py` measures STATIC mode (dynamic_mode=False).
-`python bench.py --dynamic` measures the full DYNAMIC mode — the
+`python bench.py` measures BOTH modes: DYNAMIC first (its JSON line
+prints first and lands in BENCH_DYNAMIC.json), then STATIC, whose JSON
+line prints LAST (the driver's capture). `--static` measures static
+only; `--dynamic` measures the full DYNAMIC mode — the
 reference's default (DynSLAMGUI.cpp:26-31) — on a 3-moving-car scene:
 per-object motion RANSAC, silhouette cuts, per-object TSDF fusion, all
 inside the single-dispatch fused dynamic step. Instance masks are

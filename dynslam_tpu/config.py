@@ -225,6 +225,14 @@ class TrackerParams:
     #: runs one estimator per mask slot every frame; object flow sets are
     #: small, so fewer hypotheses than camera egomotion suffice)
     object_ransac_iters: int = 200
+    #: Tukey-IRLS rounds for per-OBJECT motion. The camera estimator's 8
+    #: rounds exist to kill forward-scale drift over long pose chains;
+    #: object twists feed the per-frame track state machine and are not
+    #: chained, and the reference's object ExtractMotion is plain viso2
+    #: L2 with no IRLS at all (VisoSparseSFProvider.cpp:70-82) — 2
+    #: redescending rounds keep clean-data estimates identical while
+    #: bounding the serial GN chain the fused step runs per mask slot
+    object_irls_rounds: int = 2
     trans_error_threshold_low: float = 0.030
     trans_error_threshold_high: float = 0.550
     max_uncertain_frames_static: int = 5

@@ -130,7 +130,10 @@ class Track:
         flow = frame.masked_flow
         if len(flow) < self.params.min_flow_vectors:
             return None, None
-        tr = sf_provider.extract_motion(flow, initial_estimate)
+        tr = sf_provider.extract_motion(
+            flow, initial_estimate,
+            irls_rounds=getattr(self.params, "object_irls_rounds", None),
+        )
         if tr is None:
             return None, None
         from dynslam_tpu.utils import se3

@@ -88,6 +88,12 @@ TILE_W = 128
 #: window, so no voxel is ever silently excluded.
 SMALL_H = 64
 SMALL_W = 128
+#: mid fast-path rows: vertical footprints bind before horizontal ones
+#: (fy * 0.4 m / z plus perspective slack), so a 128-row variant of the
+#: same 128-wide shifted-copy window catches the z ~ 7-10 m band the
+#: 64-row window misses — still half the full path's one-hot build and
+#: depth dots
+MID_H = 128
 
 
 def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
@@ -258,16 +264,16 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
             v0, u0 = _window_at(d["su"], d["sv"], 1)
             _windowed(bi, d, v0, v0, u0, u0, win_h, win_w)
 
-        def _small_params(d):
-            """(fits, rs, v0, u0r, u_left) for the SMALL_H x SMALL_W
-            fast path. `fits` is an EXACT containment test of the
-            block's in-image bbox against the window actually chosen
-            (after clipping), so eligibility can never drop a voxel
-            the full path would have updated."""
+        def _small_params(d, wh):
+            """(fits, rs, v0, u0r, u_left) for the (wh, SMALL_W) fast
+            path. `fits` is an EXACT containment test of the block's
+            in-image bbox against the window actually chosen (after
+            clipping), so eligibility can never drop a voxel the full
+            path would have updated."""
             vcen = (d["vmin"] + d["vmax"]) // 2
             ucen = (d["umin"] + d["umax"]) // 2
-            v0 = jnp.clip(((vcen - SMALL_H // 2 + 4) // 8) * 8,
-                          0, h - SMALL_H)
+            v0 = jnp.clip(((vcen - wh // 2 + 4) // 8) * 8,
+                          0, h - wh)
             v0 = pl.multiple_of(v0, 8)
             # two 128-aligned column candidates: copy A (original) and
             # copy B (shifted left by 64) — one of them always centres
@@ -276,7 +282,7 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
             u0a = pl.multiple_of(u0a, 128)
             u0b = jnp.clip(((ucen - 64) // 128) * 128, 0, w - SMALL_W)
             u0b = pl.multiple_of(u0b, 128)
-            rows_ok = (d["vmin"] >= v0) & (d["vmax"] < v0 + SMALL_H)
+            rows_ok = (d["vmin"] >= v0) & (d["vmax"] < v0 + wh)
             in_a = (d["umin"] >= u0a) & (d["umax"] < u0a + SMALL_W)
             in_b = (d["umin"] >= u0b + 64) \
                 & (d["umax"] < u0b + 64 + SMALL_W)
@@ -428,17 +434,31 @@ def _kernel_factory(cfg: T.TsdfConfig, win_h: int, win_w: int, B: int,
             ))
 
           # ---- phase 2: windowed sampling for the surviving blocks —
-          # small fast path when the in-image bbox provably fits,
-          # full window otherwise
+          # smallest window whose in-image bbox containment provably
+          # holds (64x128, then 128x128, then the full window)
           for bi in range(B):
-            fits, rs, v0, u0r, u_left = _small_params(infos[bi])
-            pl.when(infos[bi]["full"] & fits)(
-                lambda bi_=bi, d=infos[bi], rs_=rs, v0_=v0, u0r_=u0r,
-                ul_=u_left: _windowed(
+            fits_s, rs_s, v0_s, u0r_s, ul_s = _small_params(
+                infos[bi], SMALL_H
+            )
+            fits_m, rs_m, v0_m, u0r_m, ul_m = _small_params(
+                infos[bi], MID_H
+            )
+            pl.when(infos[bi]["full"] & fits_s)(
+                lambda bi_=bi, d=infos[bi], rs_=rs_s, v0_=v0_s, u0r_=u0r_s,
+                ul_=ul_s: _windowed(
                     bi_, d, rs_, v0_, u0r_, ul_, SMALL_H, SMALL_W
                 )
             )
-            pl.when(infos[bi]["full"] & jnp.logical_not(fits))(
+            pl.when(infos[bi]["full"] & jnp.logical_not(fits_s) & fits_m)(
+                lambda bi_=bi, d=infos[bi], rs_=rs_m, v0_=v0_m, u0r_=u0r_m,
+                ul_=ul_m: _windowed(
+                    bi_, d, rs_, v0_, u0r_, ul_, MID_H, SMALL_W
+                )
+            )
+            pl.when(
+                infos[bi]["full"] & jnp.logical_not(fits_s)
+                & jnp.logical_not(fits_m)
+            )(
                 lambda bi_=bi, d=infos[bi]: _single_full(bi_, d)
             )
 

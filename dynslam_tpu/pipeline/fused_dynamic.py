@@ -350,7 +350,7 @@ def fused_dynamic_step(
         # 200x150 px mask holds <= ~180 bucketed matches), so running
         # them over the full (N,) flow paid ~8x the needed work per
         # mask. Row sets identical; only the PRNG draw order differs.
-        idx = jnp.nonzero(valid_j, size=OBJ_MATCH_CAP, fill_value=0)[0]
+        idx = tsdf.compact_mask(valid_j, OBJ_MATCH_CAP, 0)
         vmask = jnp.arange(OBJ_MATCH_CAP) < count_j
         est_j = ego_ops.estimate_motion(
             flow[idx], vmask, calib_vec, k_j, warm_tr[j], obj_params
@@ -690,7 +690,9 @@ class FusedDynamicPipeline:
         self.stereo_params = config.stereo
         self.vo_params = config.vo
         self.obj_params = dataclasses.replace(
-            config.vo, ransac_iters=config.tracker.object_ransac_iters
+            config.vo,
+            ransac_iters=config.tracker.object_ransac_iters,
+            irls_rounds=config.tracker.object_irls_rounds,
         )
         self.decay_params = config.decay
         # K mask slots (cut/remove/RANSAC) vs S volume slots: the

@@ -147,16 +147,24 @@ class SparseSFProvider:
         )
 
     def extract_motion(
-        self, masked_flow: np.ndarray, initial_estimate=None
+        self, masked_flow: np.ndarray, initial_estimate=None,
+        irls_rounds: Optional[int] = None,
     ) -> Optional[np.ndarray]:
         """Estimate a 6-dof twist from a masked flow subset (object motion).
         Returns the viso2-style twist (6,) or None on failure — mirrors
         `ExtractMotion` returning an empty vector
-        (VisoSparseSFProvider.cpp:70-82)."""
+        (VisoSparseSFProvider.cpp:70-82). `irls_rounds` overrides the
+        camera estimator's refinement depth (object motion uses
+        TrackerParams.object_irls_rounds)."""
         n = len(masked_flow)
         if n < 6:
             return None
-        N = self.params.max_matches
+        params = self.params
+        if irls_rounds is not None and irls_rounds != params.irls_rounds:
+            import dataclasses
+
+            params = dataclasses.replace(params, irls_rounds=irls_rounds)
+        N = params.max_matches
         flow_pad = np.zeros((N, 8), np.float32)
         take = min(n, N)
         flow_pad[:take] = masked_flow[:take]
@@ -170,7 +178,7 @@ class SparseSFProvider:
         key = jax.random.fold_in(self._base_key, 10_000_019 + self._frame_counter)
         est = ego_ops.estimate_motion(
             jnp.asarray(flow_pad), jnp.asarray(valid), self.calib_vec, key,
-            init, self.params,
+            init, params,
         )
         if not bool(est.success):
             return None
