@@ -132,7 +132,22 @@ def build_candidates(
     v_min = jnp.where(near, -_BIG, v.min(axis=1))
     v_max = jnp.where(near, _BIG, v.max(axis=1))
 
-    ok = mask & (z_max > cfg.min_depth * 0.5) \
+    # surface-bearing filter: a zero crossing needs a stored NEGATIVE
+    # voxel — rays can't cross a surface inside a block whose observed
+    # voxels are all positive (the front shell of the truncation band,
+    # roughly half the allocated blocks on a planar scene). Dropping
+    # those blocks turns their traversal into one gap leap instead of
+    # ~2-3 bounded sphere steps each, starts rays at the first
+    # surface-bearing interval, and pushes more tiles under the K_LIGHT
+    # tier. Crossings at a kept block's entry face lose their true
+    # previous sample to the leap clamp; the post-march Newton polish in
+    # the kernel restores the hit accuracy (one extra SDF sample).
+    # The row gather below is contiguous (streams at HBM speed,
+    # PERFORMANCE.md) — ~(V, 512) i32.
+    rows = state.tsdf_w[slots_c]  # (V, 512) packed sdf<<16 | weight
+    has_neg = jnp.any(((rows & 0xFFFF) > 0) & ((rows >> 16) < 0), axis=1)
+
+    ok = mask & has_neg & (z_max > cfg.min_depth * 0.5) \
         & (z_min < cfg.max_depth * 1.05 + cfg.mu)
 
     # separable tile-overlap masks
@@ -521,6 +536,20 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
         best_hit = bh_s[:]
         best_cross = bc_s[:]
         found = best_hit < t_max_hard
+
+        # one-sample Newton polish of the interpolated hit: crossings
+        # detected right after a gap leap interpolate against a stale
+        # clamped previous sample (common once the surface-bearing
+        # filter drops front-shell blocks — the crossing block's entry
+        # face IS the first sample). The TSDF at the hit is a signed
+        # distance (in units of mu): one extra sample turns it into a
+        # direct correction along the ray. Accurate hits read sdf ~ 0
+        # (no-op); out-of-candidate reads (+1.0) are rejected by the
+        # in-band gate.
+        sdf_h = sample_sdf(best_hit, sdf_tab_bf, linq)
+        corr = jnp.clip(sdf_h * mu_step, -1.5 * dt, 1.5 * dt)
+        polish = found & (jnp.abs(sdf_h) < 0.5)
+        best_hit = jnp.where(polish, best_hit + corr, best_hit)
 
         # ---- post-pass: color + weight at the hit --------------------------
         color_tab = col_s[:].astype(jnp.float32)
