@@ -233,6 +233,12 @@ class TrackerParams:
     #: redescending rounds keep clean-data estimates identical while
     #: bounding the serial GN chain the fused step runs per mask slot
     object_irls_rounds: int = 2
+    #: final-refine GN steps for per-OBJECT motion (same argument as
+    #: object_irls_rounds: the estimate is warm-started from the best
+    #: RANSAC hypothesis and consumed per-frame, so half the camera's
+    #: refinement depth converges on the tiny per-mask match sets while
+    #: halving the serial GN chain per mask slot)
+    object_gn_iters: int = 4
     trans_error_threshold_low: float = 0.030
     trans_error_threshold_high: float = 0.550
     max_uncertain_frames_static: int = 5

@@ -133,6 +133,7 @@ class Track:
         tr = sf_provider.extract_motion(
             flow, initial_estimate,
             irls_rounds=getattr(self.params, "object_irls_rounds", None),
+            gn_iters=getattr(self.params, "object_gn_iters", None),
         )
         if tr is None:
             return None, None

@@ -693,6 +693,7 @@ class FusedDynamicPipeline:
             config.vo,
             ransac_iters=config.tracker.object_ransac_iters,
             irls_rounds=config.tracker.object_irls_rounds,
+            gn_iters=config.tracker.object_gn_iters,
         )
         self.decay_params = config.decay
         # K mask slots (cut/remove/RANSAC) vs S volume slots: the

@@ -149,21 +149,27 @@ class SparseSFProvider:
     def extract_motion(
         self, masked_flow: np.ndarray, initial_estimate=None,
         irls_rounds: Optional[int] = None,
+        gn_iters: Optional[int] = None,
     ) -> Optional[np.ndarray]:
         """Estimate a 6-dof twist from a masked flow subset (object motion).
         Returns the viso2-style twist (6,) or None on failure — mirrors
         `ExtractMotion` returning an empty vector
-        (VisoSparseSFProvider.cpp:70-82). `irls_rounds` overrides the
-        camera estimator's refinement depth (object motion uses
-        TrackerParams.object_irls_rounds)."""
+        (VisoSparseSFProvider.cpp:70-82). `irls_rounds` / `gn_iters`
+        override the camera estimator's refinement depth (object motion
+        uses TrackerParams.object_irls_rounds / object_gn_iters)."""
         n = len(masked_flow)
         if n < 6:
             return None
         params = self.params
+        overrides = {}
         if irls_rounds is not None and irls_rounds != params.irls_rounds:
+            overrides["irls_rounds"] = irls_rounds
+        if gn_iters is not None and gn_iters != params.gn_iters:
+            overrides["gn_iters"] = gn_iters
+        if overrides:
             import dataclasses
 
-            params = dataclasses.replace(params, irls_rounds=irls_rounds)
+            params = dataclasses.replace(params, **overrides)
         N = params.max_matches
         flow_pad = np.zeros((N, 8), np.float32)
         take = min(n, N)

@@ -42,7 +42,7 @@ class FakeSFProvider:
         self.tr = tr
         self.last_initial = None
 
-    def extract_motion(self, flow, initial_estimate=None, irls_rounds=None):
+    def extract_motion(self, flow, initial_estimate=None, irls_rounds=None, gn_iters=None):
         self.last_initial = initial_estimate
         return None if self.tr is None else np.asarray(self.tr, np.float64)
 
