@@ -204,6 +204,9 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
     K = cfg.raycast_cand_k
     voxel = cfg.voxel_size
     dxd, dyd, dzd = cfg.local_dims
+    # in-band sampling floor. (A coarser 3.0-3.5-voxel floor was
+    # hardware-probed: NO step-count reduction — the tile tail is not
+    # dt-bound — while losing hit coverage / color parity. Keep 2.5.)
     dt = 2.5 * voxel
     mu_step = cfg.mu
     t_max_hard = cfg.max_depth * 1.05
@@ -547,7 +550,11 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
         # (no-op); out-of-candidate reads (+1.0) are rejected by the
         # in-band gate.
         sdf_h = sample_sdf(best_hit, sdf_tab_bf, linq)
-        corr = jnp.clip(sdf_h * mu_step, -1.5 * dt, 1.5 * dt)
+        # clamp is dt-INDEPENDENT: the correction only needs to undo
+        # crossing-localization error (~one sampling interval); letting
+        # it scale with a coarser dt pushed polished hits into
+        # unobserved voxels (weight-0 reads at the hit)
+        corr = jnp.clip(sdf_h * mu_step, -2.5 * voxel, 2.5 * voxel)
         polish = found & (jnp.abs(sdf_h) < 0.5)
         best_hit = jnp.where(polish, best_hit + corr, best_hit)
 
@@ -558,9 +565,18 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
         w_hit, _ = sample_table(best_hit, w_tab)
         c_fb, _ = sample_table(best_cross, color_tab)
         w_fb, _ = sample_table(best_cross, w_tab)
-        ok_hit = in_hit > 0.5
-        color = jnp.where(ok_hit, c_hit, c_fb)
-        wgt = jnp.where(ok_hit, w_hit, w_fb)
+        # second fallback one sampling interval in FRONT of the
+        # crossing: with the coarser dt the crossing sample can land in
+        # an unobserved voxel behind the surface, while the front band
+        # it stepped from is observed (it produced the positive
+        # previous sample) — the voxel the fine-sampled XLA path would
+        # read
+        c_fb2, _ = sample_table(best_cross - dt, color_tab)
+        w_fb2, _ = sample_table(best_cross - dt, w_tab)
+        ok_hit = (in_hit > 0.5) & (w_hit > 0.0)
+        ok_fb = w_fb > 0.0
+        color = jnp.where(ok_hit, c_hit, jnp.where(ok_fb, c_fb, c_fb2))
+        wgt = jnp.where(ok_hit, w_hit, jnp.where(ok_fb, w_fb, w_fb2))
 
         t_out_ref[:] = jnp.where(found, best_hit, 0.0)
         color_out_ref[:] = jnp.where(
