@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # tool/multichip coverage: full lane + driver dryrun
+
 from dynslam_tpu.ops import tsdf
 from dynslam_tpu.parallel import batch_eval, sharding
 

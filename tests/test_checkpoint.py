@@ -2,6 +2,7 @@
 uninterrupted run's map and trajectory."""
 
 import numpy as np
+import pytest
 
 from dynslam_tpu.io.synthetic import write_kitti_sequence
 from dynslam_tpu.pipeline.builder import build_dynslam
@@ -67,6 +68,7 @@ def test_shape_mismatch_rejected(tmp_path):
         load_checkpoint(ckpt, dyn2)
 
 
+@pytest.mark.slow
 def test_fused_carry_split_run_matches_continuous():
     """VERDICT r2 weak #7: the headline (fused) configuration must
     save/restore — the donated FusedCarry round-trips through

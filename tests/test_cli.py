@@ -4,6 +4,7 @@ sequence (in-process main(), CPU backend via conftest)."""
 import os
 
 import numpy as np
+import pytest
 
 from dynslam_tpu.io.synthetic import write_kitti_sequence
 from dynslam_tpu.main import main
@@ -29,6 +30,7 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert traj.shape == (3, 12)
 
 
+@pytest.mark.slow
 def test_cli_fused_dynamic(tmp_path, capsys):
     """--fused runs the single-dispatch DYNAMIC pipeline from the app:
     car tracked + reconstructed, trajectory + mesh + previews written."""

@@ -25,6 +25,7 @@ def _frames(T_rel):
 
 
 class TestDirectAlign:
+    @pytest.mark.slow
     def test_recovers_small_motion(self):
         # T_target<-ref: camera moved 10 cm forward + small yaw
         xi_gt = np.array([0.0, 0.01, 0.0, 0.02, 0.0, -0.10])

@@ -211,6 +211,7 @@ class TestCropFusion:
             np.asarray(full.block_coords) == np.asarray(crop.block_coords)
         ).all()
 
+    @pytest.mark.slow
     def test_pipeline_small_crop_matches_full_crop(self, seq):
         """End-to-end: the same sequence through a (64, 128)-crop
         pipeline reconstructs the identical instance volume as the
@@ -279,6 +280,7 @@ class TestCropFusion:
         assert mismatched <= max(2, n_s // 50), mismatched
 
 
+@pytest.mark.slow
 def test_dispatch_lag2_matches_lag1(seq):
     """dispatch_lag=2 (device never waits on the packed fetch): same
     tracking outcome as lag 1 — the car goes DYNAMIC, reconstructs into
@@ -335,6 +337,7 @@ def test_dispatch_lag2_matches_lag1(seq):
         < 1.25 * p1.get_used_block_count()
 
 
+@pytest.mark.slow
 def test_many_detections_tracked_uint16_planes():
     """VERDICT r3 item 5: K mask slots follow max_detections past the
     old hard 8-cap (uint16 bit-planes); a frame with 10 cars tracks all
@@ -390,6 +393,7 @@ def test_many_detections_tracked_uint16_planes():
     assert pipe._dropped_detections == 4
 
 
+@pytest.mark.slow
 def test_overlapping_masks_cut_exclusively():
     """VERDICT r3 item 6: two OVERLAPPING car masks. The staged path cuts
     sequentially (ProcessSilhouette_CPU, InstanceReconstructor.cpp:59-170):

@@ -22,6 +22,7 @@ def _rows_by_frame(csv_dir, pattern, key="frame"):
         return {int(r[key]): r for r in csv.DictReader(f)}
 
 
+@pytest.mark.slow
 def test_fused_static_eval_matches_staged(tmp_path):
     """The fused static pipeline's eval rows match the staged path's on
     the frames both evaluate (fused has no frame-0 row: frame 0 is the
@@ -76,6 +77,7 @@ def test_fused_static_eval_matches_staged(tmp_path):
 
 
 @pytest.mark.parametrize("lag", [1, 2])
+@pytest.mark.slow
 def test_fused_dynamic_eval_composited(tmp_path, lag):
     """Fused dynamic eval: the dynamic bucket is scored against the
     composited (instance volumes z-merged) raycast — the fused source

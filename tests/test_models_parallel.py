@@ -96,6 +96,7 @@ class TestSharding:
         np.testing.assert_allclose(np.asarray(disp[:2]), np.asarray(single),
                                    atol=1e-4)
 
+    @pytest.mark.slow
     def test_graft_dryrun(self):
         import __graft_entry__ as g
 

@@ -54,6 +54,7 @@ def test_ground_truth_pose_mode(tmp_path):
     assert dyn.static_scene.get_used_block_count() > 100
 
 
+@pytest.mark.slow
 def test_four_cars_batched_pool(tmp_path, monkeypatch):
     """VERDICT round-1 item 5: >=4 simultaneous vehicles, instance fusion
     flat vs track count — all same-frame fusions run as ONE vmapped pool

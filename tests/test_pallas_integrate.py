@@ -42,6 +42,7 @@ def prepared():
 
 
 class TestPallasIntegrateParity:
+    @pytest.mark.slow
     def test_matches_xla_integrate(self, prepared):
         state, slots, mask, rgb, depth = prepared
         w2c = jnp.eye(4)
@@ -83,6 +84,7 @@ class TestPallasIntegrateParity:
         assert w1 == 1.0 and w2 == 2.0
 
 
+@pytest.mark.slow
 class TestWideImageParity:
     """Image wider than the far window, blocks near the tier's reach:
     exercises sliding 128-aligned windows (a left-skewed window floor

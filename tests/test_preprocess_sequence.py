@@ -11,6 +11,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # tool/multichip coverage: full lane + driver dryrun
+
 from dynslam_tpu.io.synthetic import write_kitti_sequence
 
 W, H = 96, 64

@@ -48,6 +48,7 @@ def trained():
 
 
 class TestSegNet:
+    @pytest.mark.slow
     def test_training_converges(self, trained):
         *_, losses = trained
         first = np.mean(losses[:10])
