@@ -30,10 +30,18 @@ import sys
 import time
 
 W, H = 1242, 375
-N_FRAMES = 16
+#: steady-state window: 36 measured frames after warmup. KITTI
+#: sequences run 1100+ frames; the FPS definition keeps the final
+#: pipeline-drain (one frame of device time + one relay fetch) inside
+#: the measured window, so a short window under-reports steady
+#: throughput by drain/N — 36 frames bound that distortion to ~3%.
+N_FRAMES = 40
 WARMUP = 3
-CACHE = "/tmp/dynslam_bench_frames_v1.npz"
-CACHE_DYN = "/tmp/dynslam_bench_frames_dyn_v1.npz"
+CACHE = "/tmp/dynslam_bench_frames_v2.npz"
+CACHE_DYN = "/tmp/dynslam_bench_frames_dyn_v2.npz"
+#: building rows: corridor must outlast N_FRAMES * 0.8 m/frame + 45 m
+#: of forward texture for VO/raycast reach
+SCENE_ROWS = 11
 
 
 def render_frames():
@@ -54,7 +62,7 @@ def render_frames():
 
     intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
     calib = StereoCalibration(0.537150654273, 707.0912)
-    scene = SyntheticScene.default_scene(seed=11)
+    scene = SyntheticScene.default_scene(seed=11, n_rows=SCENE_ROWS)
     poses = straight_trajectory(N_FRAMES, speed=0.8, yaw_rate=0.003)
     left = []
     right = []
@@ -93,7 +101,8 @@ def render_frames_dynamic():
     intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
     calib = StereoCalibration(0.537150654273, 707.0912)
     scene = SyntheticScene.default_scene(
-        with_dynamic=True, seed=11, n_dynamic=3
+        with_dynamic=True, seed=11, n_dynamic=3, n_rows=SCENE_ROWS,
+        recurring_oncoming=2,
     )
     dyn_ids = np.asarray(
         [i + 1 for i, b in enumerate(scene.boxes) if b.is_dynamic], np.int32

@@ -59,12 +59,18 @@ class SyntheticScene:
 
     @staticmethod
     def default_scene(with_dynamic: bool = False, seed: int = 0,
-                      n_dynamic: int = 1) -> "SyntheticScene":
+                      n_dynamic: int = 1, n_rows: int = 6,
+                      recurring_oncoming: int = 0) -> "SyntheticScene":
+        """`n_rows` building rows (7 m spacing) set the corridor length a
+        straight trajectory can traverse with texture in view;
+        `recurring_oncoming` appends that many extra oncoming cars spaced
+        28 m behind the first so one passes the camera every ~16 frames
+        on a long run (KITTI-like traffic cadence)."""
         rng = np.random.default_rng(seed)
         boxes = []
         # "buildings": rows of boxes flanking a corridor along +z
         for side in (-1.0, 1.0):
-            for i in range(6):
+            for i in range(n_rows):
                 z = 4.0 + i * 7.0 + rng.uniform(-1, 1)
                 x = side * (4.5 + rng.uniform(0, 2.0))
                 h = rng.uniform(2.0, 4.0)
@@ -74,7 +80,7 @@ class SyntheticScene:
                 pose[:3, 3] = [x, 1.65 - h / 2.0, z]
                 boxes.append(Box(np.array([w / 2, h / 2, d / 2]), pose))
         # a few low obstacles in the corridor
-        for i in range(3):
+        for i in range(max(3, n_rows // 2)):
             pose = np.eye(4)
             pose[:3, 3] = [rng.uniform(-2, 2), 1.65 - 0.4, 12.0 + i * 12.0]
             boxes.append(Box(np.array([0.6, 0.4, 0.9]), pose))
@@ -125,6 +131,17 @@ class SyntheticScene:
                         np.array([0.9, 0.75, 2.1]),
                         pose4,
                         velocity=np.array([0.0, 0.0, -0.75]),
+                        is_dynamic=True,
+                    )
+                )
+            for j in range(recurring_oncoming):
+                posej = np.eye(4)
+                posej[:3, 3] = [-2.2, 1.65 - 0.75, 16.0 + 28.0 * (j + 1)]
+                boxes.append(
+                    Box(
+                        np.array([0.9, 0.75, 2.1]),
+                        posej,
+                        velocity=np.array([0.0, 0.0, -0.9]),
                         is_dynamic=True,
                     )
                 )
