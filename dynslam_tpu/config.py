@@ -131,8 +131,10 @@ class InstanceMapParams:
     #: RANSAC capacity). The reference processes EVERY detection
     #: (InstanceReconstructor.cpp:765-800); busy KITTI tracking frames
     #: exceed 8 possibly-dynamic detections, so this defaults above
-    #: max_objects. Hard ceiling 16 (uint16 mask bit-planes); overflow is
-    #: counted + logged, never silent (largest-first priority).
+    #: max_objects. Hard ceiling 32 (uint32 mask bit-planes; uint8/16
+    #: kept when K allows — narrower planes shrink the per-frame mask
+    #: upload); overflow is counted + logged, never silent
+    #: (largest-first priority).
     max_detections: int = 16
     #: block capacity per object (cars are mostly surface; 5x5x10 m bound)
     blocks_per_object: int = 2048
@@ -303,6 +305,13 @@ class DynSlamConfig:
     use_dispnet: bool = False
     #: image downscale factor for low-res experiments (scale flag)
     scale: float = 1.0
+    #: staged-path per-object direct (photometric) motion refinement
+    #: (ops/direct_align.py). The reference ships the equivalent module
+    #: disabled with its call sites commented out
+    #: (InstanceReconstructor.cpp:460-566) and reports it does not
+    #: improve pose estimates (Direct/README.md:7); off by default here
+    #: for the same reason, wired behind --direct_refinement.
+    use_direct_refinement: bool = False
 
     def replace(self, **kw) -> "DynSlamConfig":
         return dataclasses.replace(self, **kw)

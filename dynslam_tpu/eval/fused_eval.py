@@ -14,6 +14,7 @@ rows, in frame order, the staged path writes inline.
 
 from __future__ import annotations
 
+import sys
 import threading
 from collections import deque
 from typing import Dict, Optional
@@ -56,6 +57,9 @@ class FusedEvaluation(Evaluation):
         self._dataset_id = input_.get_dataset_identifier()
         self._frame_offset = input_.frame_offset
         self._pending: deque = deque()
+        #: background fetches that failed and fell back to a synchronous
+        #: retry (surfaced again at close())
+        self.failed_fetches = 0
         self._n_deltas = len(self._all_deltas)
         self._velo_to_cam = jnp.asarray(self.calib.velo_to_left_cam,
                                         jnp.float32)
@@ -145,7 +149,17 @@ class FusedEvaluation(Evaluation):
         _, eval_frame, th, holder, dev = ent
         th.join()
         packed = holder.get("v")
-        if packed is None:  # transient relay error: synchronous retry
+        if packed is None:
+            # transient relay/backend error on the background fetch:
+            # retry synchronously so the frame's rows still land — but
+            # LOUDLY (the reference's per-frame error barrier ethos,
+            # DynSlam.cpp:163-172): a systematically failing fetch
+            # thread degrades every frame to a synchronous stall
+            self.failed_fetches += 1
+            print(f"[WARNING: eval fetch thread failed for frame "
+                  f"{eval_frame}; retrying synchronously "
+                  f"({self.failed_fetches} failures so far)]",
+                  file=sys.stderr)
             packed = np.asarray(dev)
         nc = self._n_deltas * 3 * 2 * 4
         counts = packed[:nc].reshape(self._n_deltas, 3, 2, 4)
@@ -165,4 +179,8 @@ class FusedEvaluation(Evaluation):
 
     def close(self) -> None:
         self.drain()
+        if self.failed_fetches:
+            print(f"[WARNING: {self.failed_fetches} eval background "
+                  f"fetches failed over the run (each degraded that "
+                  f"frame to a synchronous fetch)]", file=sys.stderr)
         super().close()

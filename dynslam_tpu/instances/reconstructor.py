@@ -51,6 +51,9 @@ class InstanceReconstructor:
         self.config = config
         self.tracker = InstanceTracker(config.tracker)
         self.frame_idx = 0
+        #: direct-refinement invocations that replaced a motion estimate
+        #: (nonzero only with config.use_direct_refinement)
+        self.direct_refinements = 0
 
         imp = config.instance_map
         self._instance_cfg = tsdf.TsdfConfig(
@@ -211,6 +214,44 @@ class InstanceReconstructor:
             for i in range(first, len(track.frames)):
                 self._fuse_frame(track, i)
 
+    def _direct_refine_motion(self, track: Track, frame_idx: int) -> None:
+        """Optional dense photometric refinement of the frame's object
+        motion (T_cur<-prev) between consecutive instance views — the
+        reference's disabled Direct/ module call sites
+        (InstanceReconstructor.cpp:460-566). Runs only when
+        config.use_direct_refinement; the refined delta replaces
+        frame.relative_pose before the pose chain is consumed by fusion."""
+        import jax.numpy as jnp
+
+        from dynslam_tpu.ops import direct_align
+        from dynslam_tpu.utils import se3
+
+        frame = track.frames[frame_idx]
+        if frame_idx < 1 or frame.relative_pose is None:
+            return
+        prev = track.frames[frame_idx - 1]
+        if prev.instance_rgb is None or frame.instance_rgb is None:
+            return
+        ref_gray = jnp.mean(
+            jnp.asarray(prev.instance_rgb, jnp.float32), axis=-1
+        )
+        tgt_gray = jnp.mean(
+            jnp.asarray(frame.instance_rgb, jnp.float32), axis=-1
+        )
+        res = direct_align.refine_pose(
+            ref_gray, prev.instance_depth_m, tgt_gray,
+            self.config.intrinsics.as_tuple(),
+            T_init=frame.relative_pose,
+        )
+        T = np.asarray(res.T)
+        if not np.all(np.isfinite(T)) or float(res.valid_fraction) <= 0.0:
+            return  # degenerate view pair: keep the sparse estimate
+        frame.relative_pose = T.astype(np.float32)
+        frame.relative_pose_tr = np.asarray(
+            se3.log_se3(jnp.asarray(T)), np.float32
+        )
+        self.direct_refinements += 1
+
     def _fuse_frame(self, track: Track, frame_idx: int) -> None:
         """Fuse one track frame at its chained relative pose
         (FuseFrame, InstanceReconstructor.cpp:569-700)."""
@@ -219,6 +260,8 @@ class InstanceReconstructor:
         frame = track.frames[frame_idx]
         if frame.instance_rgb is None:
             return
+        if self.config.use_direct_refinement:
+            self._direct_refine_motion(track, frame_idx)
         rel_pose = track.get_frame_pose(frame_idx)
         if rel_pose is None:
             return

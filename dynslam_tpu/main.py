@@ -31,7 +31,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--dynamic_mode", action="store_true", default=True)
     p.add_argument("--no-dynamic_mode", dest="dynamic_mode",
                    action="store_false")
-    p.add_argument("--direct_refinement", action="store_true", default=False)
+    p.add_argument("--direct_refinement", action="store_true", default=False,
+                   help="refine per-object motion by dense photometric "
+                        "alignment of consecutive instance views "
+                        "(ops/direct_align.py; staged path only). The "
+                        "reference ships this disabled and found it does "
+                        "not help (Direct/README.md:7, "
+                        "InstanceReconstructor.cpp:460-566)")
     p.add_argument("--use_bilateral_filter", action="store_true",
                    default=False,
                    help="bilateral-filter the input depth before fusion "
@@ -81,8 +87,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="run the FUSED single-dispatch pipeline (the "
                         "bench/perf configuration): whole-frame executable "
                         "incl. in-graph census stereo; precomputed depth "
-                        "dumps are ignored. Evaluation not supported in "
-                        "this mode — use the staged path for CSVs")
+                        "dumps are ignored. --enable_evaluation works here "
+                        "too (deferred-fetch FusedEvaluation, same CSV "
+                        "rows); only --evaluation_delay > 0 needs the "
+                        "staged path")
     p.add_argument("--checkpoint_out", default=None,
                    help="write a map+trajectory checkpoint here at the end")
     p.add_argument("--resume_from", default=None,
@@ -302,6 +310,7 @@ def main(argv=None) -> int:
         stereo=dataclasses.replace(
             cfg.stereo, fill_gaps=args.fill_disparity_gaps
         ),
+        use_direct_refinement=args.direct_refinement,
     )
     if args.max_depth is not None:
         cfg = dataclasses.replace(cfg, max_depth_m=args.max_depth)
@@ -408,6 +417,10 @@ def main(argv=None) -> int:
         print(f"[saved static map mesh: {tris} triangles]")
 
     if dyn.instance_reconstructor is not None:
+        if cfg.use_direct_refinement:
+            print(f"[direct refinement: "
+                  f"{dyn.instance_reconstructor.direct_refinements} "
+                  f"object motions refined]")
         for t in dyn.instance_reconstructor.tracker.active_tracks.values():
             vol = (t.reconstruction.get_used_block_count()
                    if t.has_reconstruction() else 0)

@@ -74,6 +74,31 @@ def test_cli_fused_static(tmp_path, capsys):
     assert np.loadtxt(os.path.join(out, "trajectory.txt")).shape == (4, 12)
 
 
+@pytest.mark.slow
+def test_cli_staged_direct_refinement(tmp_path, capsys):
+    """--direct_refinement on the staged path runs the wired
+    ops/direct_align refinement on fused object motions (the reference's
+    disabled Direct/ call sites, InstanceReconstructor.cpp:460-566) and
+    reports how many ran."""
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=7, width=240, height=160,
+                         with_dynamic=True)
+    out = str(tmp_path / "out")
+    rc = main([
+        "--dataset_root", root, "--out", out, "--tiny",
+        "--use_live_stereo", "--min_detection_size", "8",
+        "--direct_refinement",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    m = [ln for ln in text.splitlines() if "direct refinement:" in ln]
+    assert m, "refinement count line missing"
+    n_refined = int(m[0].split(":")[1].split()[0])
+    assert n_refined >= 1, "direct refinement never ran"
+    traj = np.loadtxt(os.path.join(out, "trajectory.txt"))
+    assert np.all(np.isfinite(traj))
+
+
 def test_cli_fused_rejects_direct_refinement(tmp_path):
     """--fused still refuses the (shipped-disabled) direct refinement;
     evaluation is supported since round 4 (tests/test_fused_eval.py)."""

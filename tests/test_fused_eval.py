@@ -143,6 +143,53 @@ def test_fused_dynamic_eval_composited(tmp_path, lag):
     assert int(last["dropped_detections_cum"]) == 0
 
 
+def test_fused_eval_failed_fetch_degrades_loudly(tmp_path, monkeypatch,
+                                                 capsys):
+    """A failing background fetch thread degrades each frame to a
+    synchronous retry — with a per-frame warning and a summary count at
+    close() (the reference's loud per-frame error barrier ethos,
+    DynSlam.cpp:163-172) — while still writing every CSV row."""
+    from types import SimpleNamespace
+
+    import dynslam_tpu.eval.fused_eval as fe
+
+    class _DeadThread:
+        """A Thread that never runs its target (simulated relay error)."""
+
+        def __init__(self, target=None, daemon=None):
+            pass
+
+        def start(self):
+            pass
+
+        def join(self):
+            pass
+
+    monkeypatch.setattr(fe, "threading",
+                        SimpleNamespace(Thread=_DeadThread))
+
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=4, width=160, height=120,
+                         with_dynamic=False, write_velodyne=True)
+    out = str(tmp_path / "out")
+    rc = main([
+        "--dataset_root", root, "--out", out, "--tiny",
+        "--no-dynamic_mode", "--fused", "--enable_evaluation",
+        "--max_depth", "8",
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "eval fetch thread failed" in err
+    assert "eval background fetches failed" in err
+    # every frame's rows still landed, in order
+    uni = _rows_by_frame(os.path.join(out, "csv"),
+                         "*unified-depth-result.csv")
+    assert sorted(uni) == [1, 2, 3]
+    mem = _rows_by_frame(os.path.join(out, "csv"), "*-memory.csv",
+                         key="frame_id")
+    assert sorted(mem) == [1, 2, 3]
+
+
 def test_fused_eval_rejects_delay(tmp_path):
     root = str(tmp_path / "seq")
     write_kitti_sequence(root, num_frames=2, width=96, height=64)
