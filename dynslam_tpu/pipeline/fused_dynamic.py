@@ -159,6 +159,16 @@ def _tree_select(pred, a, b):
     )
 
 
+def _bits_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Mask bit-planes -> int32 for the slot bit math. uint8/uint16
+    zero-extend; uint32 (K > 16 slots) must BITCAST so slot 31's bit
+    survives the conversion (CLAUDE.md trap 7: never let a payload bit
+    ride the sign position through a value conversion)."""
+    if x.dtype == jnp.uint32:
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+    return x.astype(jnp.int32)
+
+
 def route_layout(K: int, S: int):
     """(name, offset, size) layout of the packed ROUTING input vector.
 
@@ -260,8 +270,8 @@ def fused_dynamic_step(
     left_gray: jnp.ndarray,  # (H, W) f32
     right_gray: jnp.ndarray,  # (H, W) f32
     rgb: jnp.ndarray,  # (H, W, 3) uint8
-    delete_bits: jnp.ndarray,  # (H, W) uint8/uint16, bit j = delete mask j
-    copy_bits: jnp.ndarray,  # (H, W) uint8/uint16, bit j = copy mask j
+    delete_bits: jnp.ndarray,  # (H, W) uint8/16/32, bit j = delete mask j
+    copy_bits: jnp.ndarray,  # (H, W) uint8/16/32, bit j = copy mask j
     routing: jnp.ndarray,  # (route_layout(K, S) total,) f32 — every
     # per-frame host scalar/small-array input packed into ONE upload
     # (copy_bbox, mask_gate, warm_tr, action, slot_src, fuse_pose,
@@ -334,7 +344,7 @@ def fused_dynamic_step(
     ui = jnp.clip(jnp.round(flow[:, 0]), 0, w - 1).astype(jnp.int32)
     vi = jnp.clip(jnp.round(flow[:, 1]), 0, h - 1).astype(jnp.int32)
     # ONE computed gather for all K masks (bit-packed); ~N elements
-    bits_at = delete_bits[vi, ui].astype(jnp.int32)  # (N,)
+    bits_at = _bits_i32(delete_bits[vi, ui])  # (N,)
     up, vp = flow[:, 4], flow[:, 5]
 
     def per_mask(j, k_j):
@@ -371,12 +381,14 @@ def fused_dynamic_step(
         )
 
     # --- silhouette processing (cut/remove on the device view) ------------
-    # plane dtype is uint8 for K <= 8, uint16 past that (two-byte planes
-    # double the per-frame mask upload, so the narrow dtype is kept when
-    # it suffices); all bit math runs in int32
+    # plane dtype is uint8 for K <= 8, uint16 to 16, uint32 to the hard
+    # ceiling of 32 (the narrowest dtype is kept: wider planes grow the
+    # per-frame mask upload); all bit math runs in int32 — shifts and
+    # AND-masks at bit 31 are well-defined under two's-complement wrap,
+    # and _bits_i32 bitcasts (not converts) uint32 planes in
     jidx = jnp.arange(K, dtype=jnp.int32)
     rem_bits = jnp.sum(jnp.where(action >= ACTION_REMOVE, 1 << jidx, 0))
-    remove_mask = (delete_bits.astype(jnp.int32) & rem_bits) != 0
+    remove_mask = (_bits_i32(delete_bits) & rem_bits) != 0
     depth_cut = jnp.where(remove_mask, 0.0, depth_m)
     rgb_cut = jnp.where(remove_mask[..., None], jnp.uint8(0), rgb)
     # per-slot cut-out views with SEQUENTIAL-cut semantics for
@@ -400,8 +412,8 @@ def fused_dynamic_step(
         # borderline pixels for masks that fit the crop
         CH = carry.pending_depth.shape[1]
         CW = carry.pending_depth.shape[2]
-        cbits_i = copy_bits.astype(jnp.int32)
-        dbits_i = delete_bits.astype(jnp.int32)
+        cbits_i = _bits_i32(copy_bits)
+        dbits_i = _bits_i32(delete_bits)
 
         def crop_one(j):
             bb = copy_bbox[j]
@@ -699,7 +711,7 @@ class FusedDynamicPipeline:
         # K mask slots (cut/remove/RANSAC) vs S volume slots: the
         # reference removes every possibly-dynamic detection from the
         # view even when it never reconstructs it, so K >= S by default
-        self.K = min(max(imp.max_detections, imp.max_objects), 16)
+        self.K = min(max(imp.max_detections, imp.max_objects), 32)
         self.S = imp.max_objects
         self._layout, self._packed_len = pack_layout(self.K)
         self._route_layout_cache = route_layout(self.K, self.S)
@@ -732,6 +744,9 @@ class FusedDynamicPipeline:
         self._packed_prefetch = None
         self._reset_routing()
         self._dropped_detections = 0
+        #: packed-output background fetches that failed and fell back to
+        #: a synchronous retry (each one stalls the device for the fetch)
+        self.failed_prefetches = 0
         #: eval.fused_eval.FusedEvaluation (set by the app when
         #: --enable_evaluation; the reference evaluates INSIDE the
         #: per-frame loop, DynSlam.cpp:154-161)
@@ -814,11 +829,13 @@ class FusedDynamicPipeline:
         detections: List[InstanceDetection], h: int, w: int, k: int = 8
     ) -> "tuple[np.ndarray, np.ndarray]":
         """(delete_bits, copy_bits) bit-planes for ALREADY-selected
-        detections (bit j = slot j): uint8 for k <= 8 slots, uint16 past
-        that (the narrow dtype halves the per-frame mask upload).
-        Action-independent — the device applies the per-slot action
-        gates — so these are precomputable."""
-        dt = np.uint8 if k <= 8 else np.uint16
+        detections (bit j = slot j): uint8 for k <= 8 slots, uint16 to
+        16, uint32 to the hard ceiling of 32 (the narrowest dtype keeps
+        the per-frame mask upload small). Action-independent — the
+        device applies the per-slot action gates — so these are
+        precomputable."""
+        assert k <= 32, "mask bit-planes support at most 32 slots"
+        dt = np.uint8 if k <= 8 else (np.uint16 if k <= 16 else np.uint32)
         delete_bits = np.zeros((h, w), dt)
         copy_bits = np.zeros((h, w), dt)
         for j, det in enumerate(detections):
@@ -1065,8 +1082,14 @@ class FusedDynamicPipeline:
             th.join()
             # a failed background fetch (transient relay error) falls
             # back to a synchronous fetch instead of crashing the frame
+            # — loudly, so a systematically failing fetch thread (which
+            # stalls the device every frame) leaves a trace
             packed = holder.get("v")
             if packed is None:
+                self.failed_prefetches += 1
+                print(f"[WARNING: packed-output prefetch failed for "
+                      f"frame {frame_no}; retrying synchronously]",
+                      file=sys.stderr)
                 packed = np.asarray(out)
         elif fallback_packed is not None:
             packed = np.asarray(fallback_packed)
