@@ -151,9 +151,15 @@ class InstanceMapParams:
     #: and fuses identical voxels up to float rounding of borderline
     #: pixels whenever the mask fits the crop (4-aligned origins keep
     #: the stride-4 allocation phase) at a fraction of the full-frame
-    #: fusion cost; oversized masks lose their out-of-crop pixels for
-    #: that frame.
+    #: fusion cost. Masks whose bbox EXCEEDS the crop take the
+    #: full-frame fallback executable (below) for that frame.
     fusion_crop: Tuple[int, int] = (256, 512)
+    #: oversized masks (bbox > fusion_crop): True = fuse the full masked
+    #: frame through a separate fallback dispatch (reference parity —
+    #: the reference always fuses the full view,
+    #: InstanceReconstructor.cpp:569-700); False = fuse the truncated
+    #: crop, with the lost pixels counted, logged, and CSV'd.
+    oversize_mask_fallback: bool = True
 
 
 @dataclass(frozen=True)

@@ -424,11 +424,14 @@ class Evaluation:
         )
 
     def log_tracker(self, frame_id: int, active: int, reconstructed: int,
-                    dropped_cum: int) -> None:
-        """Per-frame tracker telemetry row (fused-path drop visibility;
-        VERDICT r3 item 5 — new file, reference schemas untouched)."""
+                    dropped_cum: int, oversize_cum: int = 0,
+                    truncated_px_cum: int = 0) -> None:
+        """Per-frame tracker telemetry row (fused-path drop/truncation
+        visibility; VERDICT r3 item 5 + r4 item 4 — new file, reference
+        schemas untouched)."""
         self.csv_tracker.write(TrackerFrameEntry(
-            frame_id, active, reconstructed, dropped_cum,
+            frame_id, active, reconstructed, dropped_cum, oversize_cum,
+            truncated_px_cum,
         ))
 
     def close(self) -> None:

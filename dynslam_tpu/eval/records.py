@@ -121,15 +121,23 @@ class TrackerFrameEntry:
     active_tracks: int
     reconstructed_tracks: int
     dropped_detections_cum: int
+    #: cut masks whose bbox exceeded the fusion crop (cumulative; each
+    #: either full-frame-fallback fused or truncated)
+    oversize_masks_cum: int = 0
+    #: copy-mask pixels LOST to crop truncation (cumulative; nonzero only
+    #: with oversize_mask_fallback=False)
+    truncated_pixels_cum: int = 0
 
     def get_header(self) -> str:
         return ("frame_id,active_tracks,reconstructed_tracks,"
-                "dropped_detections_cum")
+                "dropped_detections_cum,oversize_masks_cum,"
+                "truncated_pixels_cum")
 
     def get_data(self) -> str:
-        return "%d,%d,%d,%d" % (
+        return "%d,%d,%d,%d,%d,%d" % (
             self.frame_id, self.active_tracks, self.reconstructed_tracks,
-            self.dropped_detections_cum,
+            self.dropped_detections_cum, self.oversize_masks_cum,
+            self.truncated_pixels_cum,
         )
 
 

@@ -244,6 +244,10 @@ def run_fused(args, cfg) -> int:
             print(f"[WARNING: {nd} detections exceeded the "
                   f"{pipe.K} mask slots over the run (largest kept); "
                   f"raise instance_map.max_detections]")
+    if getattr(pipe, "oversize_masks", 0):
+        print(f"[{pipe.oversize_masks} oversized masks exceeded the "
+              f"fusion crop; {pipe.truncated_pixels} px truncated "
+              f"(0 = every one took the full-frame fallback)]")
     return 0
 
 

@@ -248,6 +248,38 @@ def _fuse_one_instance(
 
 @partial(
     jax.jit,
+    static_argnames=("icfg", "use_pallas", "inst_decay"),
+    donate_argnames=("inst", "inst_fidx"),
+)
+def fuse_slot_fullframe(
+    icfg, use_pallas, inst_decay, inst, inst_fidx, slot,
+    depth_m, rgb, mask, w2c, reset, intr_vec,
+    max_decay_weight, min_decay_age,
+):
+    """FULL-FRAME fallback fusion for ONE pooled slot — the oversized-mask
+    path. The hot loop fuses bbox-centred crops; a mask whose bbox exceeds
+    the crop would lose its out-of-crop pixels, where the reference always
+    fuses the full masked view (InstanceReconstructor.cpp:569-700). The
+    host dispatches this (rare) extra executable instead of routing the
+    truncated crop; `icfg` here is the FULL-frame instance config."""
+    st = jax.tree_util.tree_map(lambda x: x[slot], inst)
+    fidx = inst_fidx[slot]
+    fresh = tsdf.create_state(icfg)
+    d = jnp.where(mask, depth_m, 0.0)
+    rgbm = jnp.where(mask[..., None], rgb, jnp.uint8(0))
+    st2, fidx2, _ = _fuse_one_instance(
+        icfg, use_pallas, fresh, st, fidx, d, rgbm,
+        jnp.zeros(2, jnp.int32), intr_vec, w2c, jnp.bool_(True), reset,
+        jnp.float32(0.0), inst_decay, max_decay_weight, min_decay_age,
+    )
+    inst2 = jax.tree_util.tree_map(
+        lambda full, s: full.at[slot].set(s), inst, st2
+    )
+    return inst2, inst_fidx.at[slot].set(fidx2)
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "cfg", "icfg", "stereo_params", "vo_params", "obj_params",
         "use_pallas", "decay_enabled", "inst_decay", "K", "S",
@@ -747,6 +779,13 @@ class FusedDynamicPipeline:
         #: packed-output background fetches that failed and fell back to
         #: a synchronous retry (each one stalls the device for the fetch)
         self.failed_prefetches = 0
+        #: cut masks whose bbox exceeded the fusion crop (each either
+        #: full-frame-fallback fused or truncated, per
+        #: instance_map.oversize_mask_fallback)
+        self.oversize_masks = 0
+        #: cumulative copy-mask pixels LOST to crop truncation (nonzero
+        #: only with oversize_mask_fallback=False)
+        self.truncated_pixels = 0
         #: eval.fused_eval.FusedEvaluation (set by the app when
         #: --enable_evaluation; the reference evaluates INSIDE the
         #: per-frame loop, DynSlam.cpp:154-161)
@@ -922,6 +961,9 @@ class FusedDynamicPipeline:
         mask_gate = np.zeros(self.K, bool)
         warm_tr = np.zeros((self.K, 6), np.float32)
         action = np.zeros(self.K, np.int32)
+        #: copy-mask pixels the (CH, CW) fusion crop would lose, per slot
+        #: (host bbox check; nonzero only for oversized masks)
+        trunc_px = np.zeros(self.K, np.int64)
         always = self.config.always_reconstruct_objects
         for j, tf in enumerate(new_frames):
             track = self._track_of_frame(tf)
@@ -965,6 +1007,28 @@ class FusedDynamicPipeline:
             action[j] = act
             if act == ACTION_CUT:
                 pending_j[track.id] = j
+                # oversized-mask check: would the bbox-centred fusion
+                # crop lose copy-mask pixels? (the reference fuses the
+                # full masked view whatever the size,
+                # InstanceReconstructor.cpp:569-700). The test is the
+                # crop WINDOW's actual coverage — EXACTLY the device's
+                # crop-origin math (crop_one) including the 4-alignment,
+                # which can shift the window up to 3 px off a borderline
+                # bbox even when the nominal sizes fit
+                u0 = min(max(int((bb.x0 + bb.x1) * 0.5)
+                             - self.crop_w // 2, 0), w - self.crop_w)
+                v0 = min(max(int((bb.y0 + bb.y1) * 0.5)
+                             - self.crop_h // 2, 0), h - self.crop_h)
+                u0 = (u0 // 4) * 4
+                v0 = (v0 // 4) * 4
+                covered = (bb.x0 >= u0 and bb.x1 <= u0 + self.crop_w - 1
+                           and bb.y0 >= v0
+                           and bb.y1 <= v0 + self.crop_h - 1)
+                if not covered:
+                    full = det.copy_mask.to_full_frame(h, w)
+                    inside = full[v0: v0 + self.crop_h,
+                                  u0: u0 + self.crop_w].sum()
+                    trunc_px[j] = int(full.sum()) - int(inside)
 
         if masks_dev is not None:
             delete_bits, copy_bits = masks_dev
@@ -1012,7 +1076,12 @@ class FusedDynamicPipeline:
             fuse_from_prev=self.dispatch_lag == 2,
         )
         self._dispatch_meta = (
-            frame_no, assoc, pending_j, detections, self.last_outputs
+            frame_no, assoc, pending_j, detections, self.last_outputs,
+            # oversized-mask fallback inputs: per-slot truncation counts,
+            # the dispatch's action vector + selected detections (for the
+            # exclusive full-frame mask), and the frame's device rgb
+            {"trunc_px": trunc_px, "action": action, "cands": cands,
+             "rgb": rgb},
         )
         self._reset_routing()
         self.current_frame_no += 1
@@ -1026,6 +1095,39 @@ class FusedDynamicPipeline:
             # frame k-1; its routing lands in the NEXT dispatch, which
             # fuses the matching prev_pending buffer
             self._finish_one(prev_meta, prev_prefetch)
+
+    @staticmethod
+    def _exclusive_copy_mask(extra, j) -> np.ndarray:
+        """Slot j's full-frame copy mask minus earlier removing slots'
+        delete masks — the sequential-cut exclusivity the device's
+        crop_one applies (ProcessSilhouette_CPU order,
+        InstanceReconstructor.cpp:59-170). Host-side; oversized-mask
+        fallback path only."""
+        cands, action = extra["cands"], extra["action"]
+        det = cands[j]
+        h, w = extra["rgb"].shape[:2]
+        full = det.copy_mask.to_full_frame(h, w).astype(bool)
+        for i in range(j):
+            if action[i] >= ACTION_REMOVE:
+                full &= ~cands[i].delete_mask.to_full_frame(h, w
+                                                            ).astype(bool)
+        return full
+
+    def _fuse_slot_fullframe(self, slot, depth_dev, rgb_dev, mask_np,
+                             chain, reset) -> None:
+        """Dispatch the full-frame fallback fusion for one slot and swap
+        the updated instance pool into the carry (the buffers are donated
+        to the executable)."""
+        inst2, fidx2 = fuse_slot_fullframe(
+            self.icfg, self.use_pallas, self.decay_params.enabled,
+            self.carry.inst, self.carry.inst_fidx, jnp.int32(slot),
+            depth_dev, rgb_dev, jnp.asarray(mask_np),
+            jnp.asarray(chain, jnp.float32), jnp.bool_(reset),
+            self.intr_vec,
+            jnp.float32(self.decay_params.max_decay_weight),
+            jnp.int32(self.decay_params.min_decay_age),
+        )
+        self.carry = self.carry._replace(inst=inst2, inst_fidx=fidx2)
 
     def _start_packed_prefetch(self) -> None:
         """Fetch this dispatch's packed vector on a background thread,
@@ -1076,7 +1178,7 @@ class FusedDynamicPipeline:
         315-361) that routes pending-view fusion into a later dispatch.
         Updates target the frame CAPTURED at dispatch time — at lag 2 a
         newer frame may already be associated on the same track."""
-        frame_no, assoc, pending_j, dets_full, outputs = meta
+        frame_no, assoc, pending_j, dets_full, outputs, extra = meta
         if prefetch is not None:
             th, holder, out = prefetch
             th.join()
@@ -1176,8 +1278,39 @@ class FusedDynamicPipeline:
                 chain = track.get_frame_pose(idx)
                 if chain is not None:
                     slot = track.reconstruction.slot
-                    self._route_src[slot] = pending_j[track.id]
-                    self._route_pose[slot] = chain.astype(np.float32)
+                    jj = pending_j[track.id]
+                    t_px = int(extra["trunc_px"][jj])
+                    if t_px > 0:
+                        self.oversize_masks += 1
+                    if t_px > 0 and \
+                            self.config.instance_map.oversize_mask_fallback:
+                        # the crop would lose t_px mask pixels: fuse the
+                        # FULL masked frame now via the fallback
+                        # executable instead of routing the crop
+                        reset = bool(self._route_reset[slot])
+                        self._route_reset[slot] = False
+                        print(f"[frame {frame_no}: slot {slot} mask "
+                              f"exceeds the {self.crop_h}x{self.crop_w} "
+                              f"fusion crop by {t_px} px -> full-frame "
+                              f"fallback fusion]", file=sys.stderr)
+                        self._fuse_slot_fullframe(
+                            slot, outputs.depth_m, extra["rgb"],
+                            self._exclusive_copy_mask(extra, jj),
+                            chain, reset,
+                        )
+                    else:
+                        if t_px > 0:
+                            # fallback disabled: the fused volume LOSES
+                            # these pixels this frame — counted + logged,
+                            # never silent
+                            self.truncated_pixels += t_px
+                            print(f"[frame {frame_no}: slot {slot} mask "
+                                  f"TRUNCATED by {t_px} px (fusion crop "
+                                  f"{self.crop_h}x{self.crop_w}, "
+                                  f"oversize_mask_fallback=False)]",
+                                  file=sys.stderr)
+                        self._route_src[slot] = jj
+                        self._route_pose[slot] = chain.astype(np.float32)
                     track.reconstruction.fused_frames += 1
                     track.count_fused_frame()
                     track.needs_cleanup = True
@@ -1241,7 +1374,8 @@ class FusedDynamicPipeline:
             active[slot] = True
         self.evaluation.log_tracker(
             frame_no, len(self.tracker.active_tracks), int(active.sum()),
-            self._dropped_detections,
+            self._dropped_detections, self.oversize_masks,
+            self.truncated_pixels,
         )
         self._eval_pending = (
             frame_no, outputs.raycast.depth, outputs.depth_m, assoc,

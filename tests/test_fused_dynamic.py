@@ -442,6 +442,79 @@ def test_k_past_16_uses_uint32_planes():
     assert np.all(np.isfinite(np.asarray(pipe.carry.pose_w2c)))
 
 
+def _run_fused_with_instance_map(seq_root, **imp_kw):
+    import dataclasses
+
+    from dynslam_tpu.config import InstanceMapParams
+
+    cfg = dynamic_config()
+    base = dataclasses.asdict(cfg.instance_map)
+    base.update(blocks_per_object=1024, local_dims=(48, 24, 64),
+                max_new_blocks_per_frame=512, **imp_kw)
+    cfg = dataclasses.replace(cfg, instance_map=InstanceMapParams(**base))
+    dyn, inp = build_dynslam(seq_root, cfg, with_instances=True,
+                             min_detection_size_px=8)
+    cfg = dyn.config
+    segp = PrecomputedSegmentationProvider(
+        seq_root + "/seg_image_2/mnc", min_detection_size_px=8
+    )
+    pipe = FusedDynamicPipeline(cfg, cfg.calibration, use_pallas=False)
+    while inp.has_more_images():
+        inp.read_next_frame()
+        rgb, _ = inp.get_images()
+        right_rgb = inp.get_stereo_color()[1]
+        lg = np.asarray(depth_ops.rgb_to_gray(rgb))
+        rg = np.asarray(depth_ops.rgb_to_gray(right_rgb))
+        dets = segp.segment_frame(rgb).instance_detections
+        pipe.process_frame(lg, rg, rgb, dets)
+    pipe.finalize()
+    return pipe
+
+
+def _slot_blocks(pipe):
+    tracks = [t for t in pipe.tracker.active_tracks.values()
+              if t.has_reconstruction()]
+    assert len(tracks) == 1
+    return tracks[0].reconstruction.get_used_block_count()
+
+
+@pytest.mark.slow
+def test_oversize_mask_fullframe_fallback(seq):
+    """VERDICT r4 item 4: a car mask whose bbox exceeds the fusion crop
+    must not lose fused voxels — the full-frame fallback executable fuses
+    the whole masked view (the reference always fuses the full view,
+    InstanceReconstructor.cpp:569-700). With the fallback disabled the
+    loss is counted, logged, and lands in the tracker CSV."""
+    # B: crop clamps to the whole frame -> reference behavior, no
+    # truncation possible
+    full = _run_fused_with_instance_map(seq, fusion_crop=(H, W))
+    assert full.oversize_masks == 0 and full.truncated_pixels == 0
+    n_full = _slot_blocks(full)
+    assert n_full > 100
+
+    # A: crop smaller than the car's mask bbox + fallback (default on)
+    crop = (24, 32)
+    fb = _run_fused_with_instance_map(seq, fusion_crop=crop)
+    assert fb.oversize_masks > 0, (
+        "fixture car mask never exceeded the crop — shrink the crop"
+    )
+    assert fb.truncated_pixels == 0
+    n_fb = _slot_blocks(fb)
+    assert n_fb == n_full, (
+        f"full-frame fallback lost voxels: {n_fb} vs {n_full} blocks"
+    )
+
+    # C: same crop, fallback disabled -> truncation, counted
+    tr = _run_fused_with_instance_map(seq, fusion_crop=crop,
+                                      oversize_mask_fallback=False)
+    assert tr.oversize_masks > 0
+    assert tr.truncated_pixels > 0
+    n_tr = _slot_blocks(tr)
+    assert n_tr < n_full, (
+        f"truncated crop should fuse fewer blocks: {n_tr} vs {n_full}"
+    )
+
+
 def test_bit31_survives_the_int32_bit_math():
     """Slot 31's mask bit rides the int32 sign position; _bits_i32 must
     bitcast (not value-convert) uint32 planes so the per-slot tests
