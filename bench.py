@@ -2,30 +2,48 @@
 """End-to-end benchmark on KITTI-sized frames (1242x375), run on the
 default JAX backend (the real TPU chip under the driver).
 
-Pipeline measured per frame (the reference's per-frame loop,
-DynSlam.cpp:18-175, minus disk IO): census stereo disparity -> depth,
-sparse scene flow + RANSAC visual odometry, TSDF block allocation +
-fusion, full-frame raycast, voxel decay. Synthetic frames are pre-rendered
-(and cached) so the number reflects the framework, not numpy raytracing.
+The bench scenes are materialized ONCE as real KITTI-layout sequences
+(PNG stereo pairs + calib + Velodyne + MNC-format mask dumps, cached
+under /tmp) and the pipelines are built through the SAME builder the app
+uses (`pipeline/builder.build_fused`). Per-frame work inside the timed
+window matches `main.run_fused`'s per-frame work:
 
-`python bench.py` measures BOTH modes: DYNAMIC first (its JSON line
-prints first and lands in BENCH_DYNAMIC.json), then STATIC, whose JSON
-line prints LAST (the driver's capture). `--static` measures static
-only; `--dynamic` measures the full DYNAMIC mode — the
-reference's default (DynSLAMGUI.cpp:26-31) — on a 3-moving-car scene:
-per-object motion RANSAC, silhouette cuts, per-object TSDF fusion, all
-inside the single-dispatch fused dynamic step. Instance masks are
-precomputed and preloaded like the reference's MNC dumps.
+- static: census stereo -> depth, sparse scene flow + RANSAC VO, TSDF
+  allocate+fuse, full-frame raycast, voxel decay — one fused dispatch.
+- dynamic (the reference's default mode, DynSLAMGUI.cpp:26-31), at the
+  DEFAULT instance config (max_objects=8, max_detections=16): all of the
+  above on the cut view, plus per-frame MNC dump parsing + mask bit-plane
+  packing + device upload (on a one-frame-ahead worker thread — the
+  reference overlaps its segmentation read the same way via std::async,
+  DynSlam.cpp:33-45), per-object motion RANSAC, silhouette cuts, pooled
+  per-object TSDF fusion.
+- eval-on variants additionally run the reference's in-loop evaluation
+  (EvaluateFrame + LogMemoryUse, DynSlam.cpp:154-161): LIDAR projection
+  against the (composited, for dynamic) raycast + input depth, CSV rows
+  written during the timed run via the deferred-fetch FusedEvaluation.
 
-Prints ONE JSON line:
-  {"metric": "end_to_end_fps[_dynamic]_kitti_1242x375", "value": <fps>,
-   "unit": "fps", "vs_baseline": <fps / 2.5>}
+Frames are preloaded to the device (the reference reads PNGs from a warm
+page cache; disk IO is not the system under test) with per-run +-1 gray
+noise — the TPU relay memoizes identical computations across processes,
+so timing MUST use fresh-entropy inputs.
+
+`python bench.py` measures all four: dynamic eval-on, dynamic eval-off
+(-> BENCH_DYNAMIC.json), static eval-on, then static eval-off, whose
+JSON line prints LAST (the driver's capture). Each prints ONE JSON line
+{"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps / 2.5}.
 vs_baseline is against the reference system's ~2.5 Hz on its desktop GPU
 (ICRA'18 paper figure; the repo itself publishes no numbers, BASELINE.md).
+
+Flags: --dynamic / --static run one eval-off mode; add --eval for the
+eval-on variant; --lag1 opts into the fetch-before-dispatch protocol;
+--k4 runs the dynamic mode at the round-4 quarter instance config
+(max_objects=4, max_detections=4) to measure the K delta; --verbose logs
+tracker state transitions.
 """
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -37,177 +55,179 @@ W, H = 1242, 375
 #: throughput by drain/N — 36 frames bound that distortion to ~3%.
 N_FRAMES = 40
 WARMUP = 3
-CACHE = "/tmp/dynslam_bench_frames_v2.npz"
-CACHE_DYN = "/tmp/dynslam_bench_frames_dyn_v2.npz"
 #: building rows: corridor must outlast N_FRAMES * 0.8 m/frame + 45 m
 #: of forward texture for VO/raycast reach
 SCENE_ROWS = 11
+SEQ_DYN = "/tmp/dynslam_bench_seq_dyn_v1"
+SEQ_STATIC = "/tmp/dynslam_bench_seq_static_v1"
 
 
-def render_frames():
-    import numpy as np
-
+def ensure_seq(dynamic: bool) -> str:
+    """Materialize (once, cached) the bench scene as a KITTI-layout
+    sequence incl. Velodyne + MNC dumps — the inputs the reference's own
+    loop consumes."""
     from dynslam_tpu.config import Intrinsics, StereoCalibration
-    from dynslam_tpu.io.synthetic import (
-        SyntheticScene, render_stereo_frame, straight_trajectory,
+    from dynslam_tpu.io.synthetic import write_kitti_sequence
+
+    root = SEQ_DYN if dynamic else SEQ_STATIC
+    marker = os.path.join(root, ".bench_complete")
+    if os.path.exists(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    print(f"[bench] rendering the {'dynamic' if dynamic else 'static'} "
+          f"bench sequence into {root} (one-time, ~20 s/frame)",
+          file=sys.stderr)
+    write_kitti_sequence(
+        root, num_frames=N_FRAMES, width=W, height=H,
+        intrinsics=Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104),
+        calib=StereoCalibration(0.537150654273, 707.0912),
+        with_dynamic=dynamic, n_dynamic=3, write_velodyne=True,
+        write_elas_xml=False, write_dispnet=False, seed=11,
+        scene_kwargs=(
+            dict(n_rows=SCENE_ROWS, recurring_oncoming=2) if dynamic
+            else dict(n_rows=SCENE_ROWS)
+        ),
+        trajectory_kwargs=dict(speed=0.8, yaw_rate=0.003),
+        progress=True,
     )
-
-    if os.path.exists(CACHE):
-        try:
-            data = np.load(CACHE)
-            if data["left"].shape == (N_FRAMES, H, W):
-                return data["left"], data["right"]
-        except Exception:
-            pass
-
-    intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
-    calib = StereoCalibration(0.537150654273, 707.0912)
-    scene = SyntheticScene.default_scene(seed=11, n_rows=SCENE_ROWS)
-    poses = straight_trajectory(N_FRAMES, speed=0.8, yaw_rate=0.003)
-    left = []
-    right = []
-    t0 = time.time()
-    for i in range(N_FRAMES):
-        fr = render_stereo_frame(scene, poses[i], intr, calib, W, H, frame=i)
-        left.append(np.clip(fr["left_gray"] * 255, 0, 255).astype("uint8"))
-        right.append(np.clip(fr["right_gray"] * 255, 0, 255).astype("uint8"))
-        print(f"[bench] rendered frame {i + 1}/{N_FRAMES} "
-              f"({time.time() - t0:.0f}s)", file=sys.stderr)
-    left = np.stack(left)
-    right = np.stack(right)
-    try:
-        np.savez_compressed(CACHE, left=left, right=right)
-    except Exception:
-        pass
-    return left, right
+    open(marker, "w").close()
+    return root
 
 
-def render_frames_dynamic():
+def load_frames(root: str):
+    """Gray stereo frames from the sequence PNGs + per-run fresh-entropy
+    noise (the relay memoizes identical computations; CLAUDE.md trap 1)."""
+    import cv2
     import numpy as np
 
-    from dynslam_tpu.config import Intrinsics, StereoCalibration
-    from dynslam_tpu.io.synthetic import (
-        SyntheticScene, render_stereo_frame, straight_trajectory,
-    )
-
-    if os.path.exists(CACHE_DYN):
-        try:
-            data = np.load(CACHE_DYN)
-            if data["left"].shape == (N_FRAMES, H, W):
-                return data["left"], data["right"], data["objid"]
-        except Exception:
-            pass
-
-    intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
-    calib = StereoCalibration(0.537150654273, 707.0912)
-    scene = SyntheticScene.default_scene(
-        with_dynamic=True, seed=11, n_dynamic=3, n_rows=SCENE_ROWS,
-        recurring_oncoming=2,
-    )
-    dyn_ids = np.asarray(
-        [i + 1 for i, b in enumerate(scene.boxes) if b.is_dynamic], np.int32
-    )
-    poses = straight_trajectory(N_FRAMES, speed=0.8, yaw_rate=0.003)
-    left, right, objid = [], [], []
-    t0 = time.time()
-    for i in range(N_FRAMES):
-        fr = render_stereo_frame(scene, poses[i], intr, calib, W, H, frame=i)
-        left.append(np.clip(fr["left_gray"] * 255, 0, 255).astype("uint8"))
-        right.append(np.clip(fr["right_gray"] * 255, 0, 255).astype("uint8"))
-        oid = fr["object_id"]
-        objid.append(
-            np.where(np.isin(oid, dyn_ids), oid, 0).astype(np.int16)
-        )
-        print(f"[bench] rendered dynamic frame {i + 1}/{N_FRAMES} "
-              f"({time.time() - t0:.0f}s)", file=sys.stderr)
-    left, right, objid = np.stack(left), np.stack(right), np.stack(objid)
-    try:
-        np.savez_compressed(CACHE_DYN, left=left, right=right, objid=objid)
-    except Exception:
-        pass
-    return left, right, objid
+    left, right = [], []
+    for f in range(N_FRAMES):
+        left.append(cv2.imread(os.path.join(root, "image_2", f"{f:06d}.png"),
+                               cv2.IMREAD_GRAYSCALE))
+        right.append(cv2.imread(os.path.join(root, "image_3", f"{f:06d}.png"),
+                                cv2.IMREAD_GRAYSCALE))
+    left, right = np.stack(left), np.stack(right)
+    rng = np.random.default_rng()  # unseeded: OS entropy
+    noise = lambda a: np.clip(
+        a.astype(np.int16) + rng.integers(-1, 2, a.shape, dtype=np.int16),
+        0, 255,
+    ).astype(np.uint8)
+    return noise(left), noise(right)
 
 
-def detections_from_objid(objid, min_size_px=45):
-    """GT masks -> InstanceDetection list (the MNC-dump role)."""
-    from dynslam_tpu.io.segmentation import detections_from_instance_ids
-
-    return detections_from_instance_ids(objid, min_size_px)
-
-
-def main_dynamic():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
+def bench_config(dynamic: bool, k4: bool = False):
     from dynslam_tpu.config import (
         DynSlamConfig, InstanceMapParams, Intrinsics, MapParams,
         SceneParams, StereoCalibration, StereoMatcherParams,
         VisualOdometryParams, VoxelDecayParams,
     )
-    from dynslam_tpu.pipeline.fused_dynamic import FusedDynamicPipeline
 
-    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
-    left_np, right_np, objid = render_frames_dynamic()
-    rng = np.random.default_rng()
-    noise = lambda a: np.clip(
-        a.astype(np.int16) + rng.integers(-1, 2, a.shape, dtype=np.int16),
-        0, 255,
-    ).astype(np.uint8)
-    left_np, right_np = noise(left_np), noise(right_np)
-
-    intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
-    calib = StereoCalibration(0.537150654273, 707.0912)
-    cfg = DynSlamConfig(
-        frame_width=W, frame_height=H, intrinsics=intr, calibration=calib,
-        dynamic_mode=True,
+    imp = InstanceMapParams()  # the SHIPPED default: 8 objects, 16 slots
+    if k4:
+        imp = InstanceMapParams(max_objects=4, max_detections=4)
+    return DynSlamConfig(
+        frame_width=W, frame_height=H,
+        intrinsics=Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104),
+        calibration=StereoCalibration(0.537150654273, 707.0912),
+        dynamic_mode=dynamic,
         scene=SceneParams(voxel_size_m=0.05, mu_m=0.30),
         map=MapParams(pool_capacity=2 ** 17, local_dims=(160, 48, 160),
                       max_new_blocks_per_frame=8192),
-        instance_map=InstanceMapParams(max_objects=4, max_detections=4),
+        instance_map=imp,
         stereo=StereoMatcherParams(max_disparity=128),
         vo=VisualOdometryParams(),
         decay=VoxelDecayParams(enabled=True, min_decay_age=200,
                                max_decay_weight=1),
     )
-    # lag 2 (default): the device never idles on the packed fetch;
-    # tracker decisions one frame staler — semantics pinned equivalent
-    # by tests/test_fused_dynamic.py. --lag1 opts back in to the
-    # fetch-before-dispatch protocol.
-    lag = 1 if "--lag1" in sys.argv else 2
-    engine = FusedDynamicPipeline(cfg, calib, dispatch_lag=lag)
-    engine.verbose_tracker = "--verbose" in sys.argv
-    print(f"[bench] dispatch_lag={lag}", file=sys.stderr)
 
-    # precompute detections + mask bit-planes (the reference reads these
-    # from precomputed MNC dumps, PrecomputedSegmentationProvider.cpp);
-    # preload everything to the device like the images
-    dets = [
-        engine.select_detections(detections_from_objid(objid[i]), engine.K)
-        for i in range(N_FRAMES)
-    ]
-    n_det = [len(d) for d in dets]
-    print(f"[bench] detections/frame: {n_det}", file=sys.stderr)
-    masks_dev = []
-    for i in range(N_FRAMES):
-        db, cb = engine.pack_mask_bits(dets[i], H, W, engine.K)
-        masks_dev.append((jnp.asarray(db), jnp.asarray(cb)))
+
+def preload_device(left_np, right_np):
+    import jax.numpy as jnp
+
     left_dev = [jnp.asarray(x, jnp.float32) for x in left_np]
     right_dev = [jnp.asarray(x, jnp.float32) for x in right_np]
     rgb_dev = [
         jnp.broadcast_to(jnp.asarray(x)[..., None], (H, W, 3))
         for x in left_np
     ]
+    return left_dev, right_dev, rgb_dev
 
+
+def count_csv_rows(csv_dir: str, suffix: str) -> int:
+    import glob
+
+    files = glob.glob(os.path.join(csv_dir, f"*{suffix}"))
+    if not files:
+        return 0
+    with open(files[0]) as f:
+        return max(0, sum(1 for _ in f) - 1)
+
+
+def main_dynamic(eval_on: bool = False):
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dynslam_tpu.pipeline.builder import build_fused
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    root = ensure_seq(dynamic=True)
+    k4 = "--k4" in sys.argv
+    cfg = bench_config(dynamic=True, k4=k4)
+    csv_dir = "/tmp/dynslam_bench_csv_dyn"
+    shutil.rmtree(csv_dir, ignore_errors=True)
+    engine, input_, segp = build_fused(
+        root, cfg, with_evaluation=eval_on, csv_out_dir=csv_dir,
+    )
+    # lag 2 (default): the device never idles on the packed fetch;
+    # tracker decisions one frame staler — semantics pinned equivalent
+    # by tests/test_fused_dynamic.py. --lag1 opts back in to the
+    # fetch-before-dispatch protocol.
+    lag = 1 if "--lag1" in sys.argv else 2
+    engine.dispatch_lag = lag
+    engine.verbose_tracker = "--verbose" in sys.argv
+    print(f"[bench] dispatch_lag={lag} K={engine.K} S={engine.S} "
+          f"eval={'ON' if eval_on else 'off'}", file=sys.stderr)
+
+    left_np, right_np = load_frames(root)
+    left_dev, right_dev, rgb_dev = preload_device(left_np, right_np)
+    # host rgb for the segmentation provider (content unused; the dump
+    # parse is keyed by the provider's frame counter)
+    rgb_host = [np.broadcast_to(x[..., None], (H, W, 3)) for x in left_np]
+
+    # one-frame-ahead segmentation worker (the reference's std::async
+    # overlap, DynSlam.cpp:33-45): per frame, INSIDE the timed window —
+    # parse the MNC dump (~the reference's ~16 ms/mask read,
+    # PrecomputedSegmentationProvider.cpp:37-39), select the K largest,
+    # rasterize the bit-planes, upload them (ONE relay upload)
+    pool = ThreadPoolExecutor(max_workers=1)
+
+    def seg_job(i):
+        dets = segp.segment_frame(rgb_host[i]).instance_detections
+        sel = engine.select_detections(dets, engine.K)
+        db, cb = engine.pack_mask_bits(sel, H, W, engine.K)
+        both = jnp.asarray(np.stack([db, cb]))
+        return dets, (both[0], both[1])
+
+    # compile the (rare) oversized-mask fallback executable BEFORE the
+    # timed window — the bench scene's close passes trigger it, and its
+    # first call otherwise pays a ~40 s mid-sequence compile
+    engine.prewarm_oversize_fallback()
+
+    fut = pool.submit(seg_job, 0)
     frame_times = []
     t_steady = None
     for i in range(N_FRAMES):
         t0 = time.perf_counter()
+        dets, masks_dev = fut.result()
+        if i + 1 < N_FRAMES:
+            fut = pool.submit(seg_job, i + 1)
         # process_frame's deferred tracker pass fetches the PREVIOUS
         # frame's packed outputs — that fetch is the pipeline sync, so
         # the host stays exactly one frame ahead of the device
         engine.process_frame(
-            left_dev[i], right_dev[i], rgb_dev[i], dets[i], masks_dev[i]
+            left_dev[i], right_dev[i], rgb_dev[i], dets, masks_dev
         )
         if i == WARMUP:
             t_steady = time.perf_counter()
@@ -218,6 +238,11 @@ def main_dynamic():
     # consume the final dispatch: forces the whole sequence's chain
     engine._finish_prev()
     fps = (N_FRAMES - WARMUP - 1) / (time.perf_counter() - t_steady)
+    # post-clock bookkeeping (the reference drains nothing extra in its
+    # FPS window either): tail fusion flush + eval close
+    if eval_on:
+        engine.finalize()
+        engine.evaluation.close()
     used = engine.get_used_block_count()
     vox = getattr(engine, "last_fused_voxels", 0) \
         + getattr(engine, "last_march_samples", 0)
@@ -235,74 +260,40 @@ def main_dynamic():
         f"blocks; {len(objs)} reconstructed objects {obj_blocks}",
         file=sys.stderr,
     )
-    return {
-        "metric": "end_to_end_fps_dynamic_kitti_1242x375",
+    res = {
+        "metric": ("end_to_end_fps_dynamic_eval_kitti_1242x375" if eval_on
+                   else "end_to_end_fps_dynamic_kitti_1242x375"),
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 2.5, 3),
         "reconstructed_objects": sum(1 for v in obj_blocks.values() if v),
+        "instance_config": f"K={engine.K} S={engine.S}",
     }
+    if eval_on:
+        rows = count_csv_rows(csv_dir, "unified-depth-result.csv")
+        print(f"[bench] eval CSV rows written during the run: {rows}",
+              file=sys.stderr)
+        res["eval_csv_rows"] = rows
+    return res
 
 
-def main():
+def main_static(eval_on: bool = False):
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    from dynslam_tpu.config import (
-        DynSlamConfig, Intrinsics, MapParams, SceneParams, StereoCalibration,
-        StereoMatcherParams, VisualOdometryParams, VoxelDecayParams,
-    )
-    from dynslam_tpu.pipeline.fused import FusedPipeline
-    from dynslam_tpu.pipeline.mapping import engine_config_from
+    from dynslam_tpu.pipeline.builder import build_fused
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
-    left_np, right_np = render_frames()
-    # the TPU relay in this environment memoizes identical computations;
-    # per-run noise (OS entropy, +-1 gray level) keeps every frame's
-    # computation unique so the timing is honest, without affecting the
-    # pipeline's behavior
-    rng = np.random.default_rng()
-    left_np = np.clip(
-        left_np.astype(np.int16)
-        + rng.integers(-1, 2, left_np.shape, dtype=np.int16),
-        0, 255,
-    ).astype(np.uint8)
-    right_np = np.clip(
-        right_np.astype(np.int16)
-        + rng.integers(-1, 2, right_np.shape, dtype=np.int16),
-        0, 255,
-    ).astype(np.uint8)
-
-    intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
-    calib = StereoCalibration(0.537150654273, 707.0912)
-    cfg = DynSlamConfig(
-        frame_width=W, frame_height=H, intrinsics=intr, calibration=calib,
-        dynamic_mode=False,
-        scene=SceneParams(voxel_size_m=0.05, mu_m=0.30),
-        map=MapParams(pool_capacity=2 ** 17, local_dims=(160, 48, 160),
-                      max_new_blocks_per_frame=8192),
-        stereo=StereoMatcherParams(max_disparity=128),
-        vo=VisualOdometryParams(),
-        decay=VoxelDecayParams(enabled=True, min_decay_age=200,
-                               max_decay_weight=1),
+    root = ensure_seq(dynamic=False)
+    cfg = bench_config(dynamic=False)
+    csv_dir = "/tmp/dynslam_bench_csv_static"
+    shutil.rmtree(csv_dir, ignore_errors=True)
+    engine, input_, _segp = build_fused(
+        root, cfg, with_evaluation=eval_on, csv_out_dir=csv_dir,
     )
-
-    # fused single-dispatch pipeline (pipeline/fused.py): the whole
-    # per-frame computation — stereo, VO, allocate+fuse, raycast, decay —
-    # is ONE jitted executable, so host dispatch overhead is one relay
-    # call (~6 ms) per frame instead of 15-20 (~100 ms)
-    engine = FusedPipeline(
-        engine_config_from(cfg), cfg.stereo, cfg.vo, cfg.decay, calib,
-    )
-
-    # preload frames to the device (gray once for stereo+VO)
-    left_dev = [jnp.asarray(x, jnp.float32) for x in left_np]
-    right_dev = [jnp.asarray(x, jnp.float32) for x in right_np]
-    rgb_dev = [
-        jnp.broadcast_to(jnp.asarray(x)[..., None], (H, W, 3))
-        for x in left_np
-    ]
+    print(f"[bench] eval={'ON' if eval_on else 'off'}", file=sys.stderr)
+    left_np, right_np = load_frames(root)
+    left_dev, right_dev, rgb_dev = preload_device(left_np, right_np)
 
     frame_times = []
     prev_sync = None
@@ -313,6 +304,15 @@ def main():
         t0 = time.perf_counter()
 
         engine.process_frame(left_dev[i], right_dev[i], rgb_dev[i])
+        if eval_on and engine.evaluation is not None \
+                and engine.last_outputs is not None:
+            # per-frame in-loop evaluation, exactly main.run_fused's
+            # submit (the reference's EvaluateFrame, DynSlam.cpp:154-161)
+            o = engine.last_outputs
+            engine.evaluation.submit(
+                i, o.raycast.depth, o.depth_m, None,
+                o.used_blocks, o.decayed_blocks,
+            )
         if i > WARMUP:
             vox_counters.append((engine.last_outputs.fused_voxels,
                                  engine.last_outputs.march_samples))
@@ -337,6 +337,8 @@ def main():
     # the whole sequence's compute chain
     float(np.asarray(prev_sync))
     fps = (N_FRAMES - WARMUP - 1) / (time.perf_counter() - t_steady)
+    if eval_on and engine.evaluation is not None:
+        engine.evaluation.close()
     used = engine.get_used_block_count()
     # secondary metric (BASELINE.json): TSDF fusion+raycast voxel
     # throughput, MEASURED on device per frame — voxels in blocks gated
@@ -349,37 +351,59 @@ def main():
           f"(measured fusion+raycast, {vox_per_frame / 1e6:.1f} M/frame)",
           file=sys.stderr)
     print(
-        f"[bench] steady-state: {fps:.2f} FPS over {N_FRAMES - WARMUP - 1} frames; "
-        f"map {used} blocks", file=sys.stderr,
+        f"[bench] steady-state: {fps:.2f} FPS over "
+        f"{N_FRAMES - WARMUP - 1} frames; map {used} blocks",
+        file=sys.stderr,
     )
-    return {
-        "metric": "end_to_end_fps_kitti_1242x375",
+    res = {
+        "metric": ("end_to_end_fps_static_eval_kitti_1242x375" if eval_on
+                   else "end_to_end_fps_kitti_1242x375"),
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 2.5, 3),
     }
+    if eval_on:
+        rows = count_csv_rows(csv_dir, "unified-depth-result.csv")
+        print(f"[bench] eval CSV rows written during the run: {rows}",
+              file=sys.stderr)
+        res["eval_csv_rows"] = rows
+    return res
+
+
+def _write_json(path, obj):
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               path), "w") as f:
+            json.dump(obj, f)
+            f.write("\n")
+    except Exception as e:
+        print(f"[bench] {path} write failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
+    eval_flag = "--eval" in sys.argv
     if "--dynamic" in sys.argv:
-        print(json.dumps(main_dynamic()))
+        print(json.dumps(main_dynamic(eval_on=eval_flag)))
     elif "--static" in sys.argv:
-        print(json.dumps(main()))
+        print(json.dumps(main_static(eval_on=eval_flag)))
     else:
         # the driver's capture command is plain `python bench.py`: run
-        # BOTH modes so the official artifact covers the reference's
-        # default (dynamic) too. The dynamic line prints first and is
-        # also written to BENCH_DYNAMIC.json; the static line prints
-        # LAST (the driver records the final JSON line).
-        dyn_res = main_dynamic()
-        try:
-            with open(os.path.join(os.path.dirname(
-                    os.path.abspath(__file__)), "BENCH_DYNAMIC.json"),
-                    "w") as f:
-                json.dump(dyn_res, f)
-                f.write("\n")
-        except Exception as e:
-            print(f"[bench] BENCH_DYNAMIC.json write failed: {e}",
-                  file=sys.stderr)
+        # all four modes — eval-on first (the reference's default loop
+        # evaluates every frame), then the eval-off headline numbers.
+        # The dynamic eval-off line lands in BENCH_DYNAMIC.json (with the
+        # eval-on numbers as extra fields); the static eval-off line
+        # prints LAST (the driver records the final JSON line).
+        dyn_eval = main_dynamic(eval_on=True)
+        print(json.dumps(dyn_eval))
+        dyn_res = main_dynamic(eval_on=False)
         print(json.dumps(dyn_res))
-        print(json.dumps(main()))
+        sta_eval = main_static(eval_on=True)
+        print(json.dumps(sta_eval))
+        dyn_res["eval_on_fps"] = dyn_eval["value"]
+        dyn_res["eval_csv_rows"] = dyn_eval.get("eval_csv_rows", 0)
+        dyn_res["static_eval_on_fps"] = sta_eval["value"]
+        _write_json("BENCH_DYNAMIC.json", dyn_res)
+        _write_json("BENCH_EVAL.json",
+                    {"dynamic_eval_on": dyn_eval,
+                     "static_eval_on": sta_eval})
+        print(json.dumps(main_static(eval_on=False)))

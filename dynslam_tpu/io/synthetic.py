@@ -408,9 +408,16 @@ def write_kitti_sequence(
     write_dispnet: bool = False,
     write_elas_xml: bool = True,
     seed: int = 0,
+    scene_kwargs: Optional[dict] = None,
+    trajectory_kwargs: Optional[dict] = None,
+    progress: bool = False,
 ) -> SyntheticScene:
     """Materialize a synthetic sequence in KITTI-odometry layout under
-    `root` (folders per Input.h:61-86). Returns the scene for GT checks."""
+    `root` (folders per Input.h:61-86). Returns the scene for GT checks.
+    `scene_kwargs`/`trajectory_kwargs` forward to
+    SyntheticScene.default_scene / straight_trajectory (bench scenes use
+    longer corridors and faster motion); `progress` prints per-frame
+    render progress to stderr (full-res renders take ~20 s each)."""
     import cv2
 
     if intrinsics is None:
@@ -421,8 +428,9 @@ def write_kitti_sequence(
         calib = StereoCalibration(baseline_m=0.5, focal_length_px=intrinsics.fx)
 
     scene = SyntheticScene.default_scene(with_dynamic=with_dynamic, seed=seed,
-                                         n_dynamic=n_dynamic)
-    poses = straight_trajectory(num_frames)
+                                         n_dynamic=n_dynamic,
+                                         **(scene_kwargs or {}))
+    poses = straight_trajectory(num_frames, **(trajectory_kwargs or {}))
     kcal = make_calibration(intrinsics, calib)
 
     for sub in ("image_2", "image_3", "velodyne", "precomputed-depth/Frames",
@@ -435,10 +443,17 @@ def write_kitti_sequence(
     if os.path.exists(tracklet_path):
         os.remove(tracklet_path)
 
+    import sys
+    import time
+
+    t0 = time.time()
     for f in range(num_frames):
         fr = render_stereo_frame(
             scene, poses[f], intrinsics, calib, width, height, frame=f
         )
+        if progress:
+            print(f"[synthetic] rendered frame {f + 1}/{num_frames} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr)
         cv2.imwrite(
             os.path.join(root, "image_2", f"{f:06d}.png"),
             to_uint8_rgb(fr["left_gray"])[..., ::-1],

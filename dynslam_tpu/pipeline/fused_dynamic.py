@@ -1129,6 +1129,30 @@ class FusedDynamicPipeline:
         )
         self.carry = self.carry._replace(inst=inst2, inst_fidx=fidx2)
 
+    def prewarm_oversize_fallback(self) -> None:
+        """Compile the full-frame fallback fusion executable ahead of
+        time (a no-op dispatch on a throwaway instance pool). Without
+        this, the first oversized mask of a run pays the ~40 s TPU
+        compile mid-sequence; bench.py calls it during warmup."""
+        one = tsdf.create_state(self.icfg)
+        inst = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (self.S,) + x.shape).copy(),
+            one,
+        )
+        h, w = self.cfg.height, self.cfg.width
+        inst2, fidx2 = fuse_slot_fullframe(
+            self.icfg, self.use_pallas, self.decay_params.enabled,
+            inst, jnp.zeros(self.S, jnp.int32), jnp.int32(0),
+            jnp.zeros((h, w), jnp.float32),
+            jnp.zeros((h, w, 3), jnp.uint8),
+            jnp.zeros((h, w), bool),
+            jnp.eye(4, dtype=jnp.float32), jnp.bool_(False),
+            self.intr_vec,
+            jnp.float32(self.decay_params.max_decay_weight),
+            jnp.int32(self.decay_params.min_decay_age),
+        )
+        np.asarray(fidx2)  # force the compile (relay-honest sync)
+
     def _start_packed_prefetch(self) -> None:
         """Fetch this dispatch's packed vector on a background thread,
         IMMEDIATELY after dispatch. Through the TPU relay a fetch is one

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--k4", action="store_true",
+                    help="quarter instance config (max_objects=4, "
+                         "max_detections=4) instead of the default 8/16")
     ap.add_argument("--variants", default=",".join(VARIANTS))
     args = ap.parse_args()
 
@@ -54,46 +57,28 @@ def main():
     import numpy as np
 
     import bench
-    from dynslam_tpu.config import (
-        DynSlamConfig, InstanceMapParams, Intrinsics, MapParams, SceneParams,
-        StereoCalibration, StereoMatcherParams, VisualOdometryParams,
-        VoxelDecayParams,
-    )
+    from dynslam_tpu.io.segmentation import PrecomputedSegmentationProvider
     from dynslam_tpu.pipeline.fused_dynamic import FusedDynamicPipeline
 
     W, H, N = bench.W, bench.H, bench.N_FRAMES
-    left_np, right_np, objid = bench.render_frames_dynamic()
-    rng = np.random.default_rng()
+    root = bench.ensure_seq(dynamic=True)
+    # one dump parse for all variants (profiling isolates DEVICE stages;
+    # the per-frame host seg cost is bench.py's concern)
+    segp0 = PrecomputedSegmentationProvider(root + "/seg_image_2/mnc")
+    all_dets = [
+        segp0.segment_frame(None).instance_detections for _ in range(N)
+    ]
 
-    intr = Intrinsics(707.0912, 707.0912, W / 2.0, 183.1104)
-    calib = StereoCalibration(0.537150654273, 707.0912)
     results = {}
     for name in args.variants.split(","):
         skip = VARIANTS[name]
-        cfg = DynSlamConfig(
-            frame_width=W, frame_height=H, intrinsics=intr,
-            calibration=calib, dynamic_mode=True,
-            scene=SceneParams(voxel_size_m=0.05, mu_m=0.30),
-            map=MapParams(pool_capacity=2 ** 17, local_dims=(160, 48, 160),
-                          max_new_blocks_per_frame=8192),
-            instance_map=InstanceMapParams(max_objects=4, max_detections=4),
-            stereo=StereoMatcherParams(max_disparity=128),
-            vo=VisualOdometryParams(),
-            decay=VoxelDecayParams(enabled=True, min_decay_age=200,
-                                   max_decay_weight=1),
-        )
-        engine = FusedDynamicPipeline(cfg, calib)
+        cfg = bench.bench_config(dynamic=True, k4=args.k4)
+        engine = FusedDynamicPipeline(cfg, cfg.calibration)
         engine.profile_skip = skip
 
-        noise = lambda a: np.clip(
-            a.astype(np.int16)
-            + rng.integers(-1, 2, a.shape, dtype=np.int16), 0, 255,
-        ).astype(np.uint8)
-        ln, rn = noise(left_np), noise(right_np)
+        ln, rn = bench.load_frames(root)  # fresh noise per variant
         dets = [
-            engine.select_detections(
-                bench.detections_from_objid(objid[i]), engine.K
-            )
+            engine.select_detections(all_dets[i], engine.K)
             for i in range(N)
         ]
         masks_dev = []
