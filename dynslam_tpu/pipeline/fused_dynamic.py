@@ -868,13 +868,18 @@ class FusedDynamicPipeline:
         detections: List[InstanceDetection], h: int, w: int, k: int = 8
     ) -> "tuple[np.ndarray, np.ndarray]":
         """(delete_bits, copy_bits) bit-planes for ALREADY-selected
-        detections (bit j = slot j): uint8 for k <= 8 slots, uint16 to
-        16, uint32 to the hard ceiling of 32 (the narrowest dtype keeps
-        the per-frame mask upload small). Action-independent — the
-        device applies the per-slot action gates — so these are
-        precomputable."""
+        detections (bit j = slot j): the NARROWEST dtype that fits the
+        occupied slots — uint8 up to 8 detections, uint16 to 16, uint32
+        to the hard ceiling of 32. Slots past len(detections) carry no
+        bits and are gated off by action/mask_gate, so the dtype follows
+        the frame's detection count, not K: a typical (<= 8 car) frame
+        uploads half/quarter the bytes, and jit specializes the step per
+        plane dtype (at most 3 executables; each busier tier compiles
+        once on first use). Action-independent — the device applies the
+        per-slot action gates — so these are precomputable."""
         assert k <= 32, "mask bit-planes support at most 32 slots"
-        dt = np.uint8 if k <= 8 else (np.uint16 if k <= 16 else np.uint32)
+        n = min(len(detections), k)
+        dt = np.uint8 if n <= 8 else (np.uint16 if n <= 16 else np.uint32)
         delete_bits = np.zeros((h, w), dt)
         copy_bits = np.zeros((h, w), dt)
         for j, det in enumerate(detections):
