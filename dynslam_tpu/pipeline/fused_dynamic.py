@@ -446,23 +446,38 @@ def fused_dynamic_step(
         CW = carry.pending_depth.shape[2]
         cbits_i = _bits_i32(copy_bits)
         dbits_i = _bits_i32(delete_bits)
+        # pad to 4-aligned frame dims so aligned windows can reach the
+        # bottom/right edges: at 1242x375 (neither % 4 == 0) the largest
+        # aligned origin left the last 3 rows / 2 cols uncoverable by ANY
+        # window, so every mask touching the frame bottom falsely took
+        # the (~110 ms) full-frame oversize fallback. Zero-depth padding
+        # never allocates or fuses, and padding at the bottom/right keeps
+        # pixel coordinates (hence allocate's stride-4 phase) exact.
+        hp, wp = -(-h // 4) * 4, -(-w // 4) * 4
+        if (hp, wp) != (h, w):
+            depth_c = jnp.pad(depth_m, ((0, hp - h), (0, wp - w)))
+            rgb_c = jnp.pad(rgb, ((0, hp - h), (0, wp - w), (0, 0)))
+            cbits_c = jnp.pad(cbits_i, ((0, hp - h), (0, wp - w)))
+            dbits_c = jnp.pad(dbits_i, ((0, hp - h), (0, wp - w)))
+        else:
+            depth_c, rgb_c, cbits_c, dbits_c = depth_m, rgb, cbits_i, dbits_i
 
         def crop_one(j):
             bb = copy_bbox[j]
             u0 = jnp.clip(
                 ((bb[0] + bb[2]) * 0.5).astype(jnp.int32) - CW // 2,
-                0, w - CW,
+                0, wp - CW,
             )
             v0 = jnp.clip(
                 ((bb[1] + bb[3]) * 0.5).astype(jnp.int32) - CH // 2,
-                0, h - CH,
+                0, hp - CH,
             )
             u0 = (u0 // 4) * 4
             v0 = (v0 // 4) * 4
-            dpc = jax.lax.dynamic_slice(depth_m, (v0, u0), (CH, CW))
-            rgbc = jax.lax.dynamic_slice(rgb, (v0, u0, 0), (CH, CW, 3))
-            bitc = jax.lax.dynamic_slice(cbits_i, (v0, u0), (CH, CW))
-            dbitc = jax.lax.dynamic_slice(dbits_i, (v0, u0), (CH, CW))
+            dpc = jax.lax.dynamic_slice(depth_c, (v0, u0), (CH, CW))
+            rgbc = jax.lax.dynamic_slice(rgb_c, (v0, u0, 0), (CH, CW, 3))
+            bitc = jax.lax.dynamic_slice(cbits_c, (v0, u0), (CH, CW))
+            dbitc = jax.lax.dynamic_slice(dbits_c, (v0, u0), (CH, CW))
             # sequential-cut exclusivity: pixels an EARLIER removing
             # slot's delete mask covers were already deleted when the
             # staged path reached this track's copy
@@ -1017,13 +1032,14 @@ class FusedDynamicPipeline:
                 # full masked view whatever the size,
                 # InstanceReconstructor.cpp:569-700). The test is the
                 # crop WINDOW's actual coverage — EXACTLY the device's
-                # crop-origin math (crop_one) including the 4-alignment,
-                # which can shift the window up to 3 px off a borderline
-                # bbox even when the nominal sizes fit
+                # crop-origin math (crop_one) including the 4-alignment
+                # and the 4-aligned frame padding that lets windows reach
+                # the bottom/right edges
+                hp, wp = -(-h // 4) * 4, -(-w // 4) * 4
                 u0 = min(max(int((bb.x0 + bb.x1) * 0.5)
-                             - self.crop_w // 2, 0), w - self.crop_w)
+                             - self.crop_w // 2, 0), wp - self.crop_w)
                 v0 = min(max(int((bb.y0 + bb.y1) * 0.5)
-                             - self.crop_h // 2, 0), h - self.crop_h)
+                             - self.crop_h // 2, 0), hp - self.crop_h)
                 u0 = (u0 // 4) * 4
                 v0 = (v0 // 4) * 4
                 covered = (bb.x0 >= u0 and bb.x1 <= u0 + self.crop_w - 1

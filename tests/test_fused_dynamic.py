@@ -546,6 +546,53 @@ def test_bit31_survives_the_int32_bit_math():
     np.testing.assert_array_equal(np.asarray((bits & rem) != 0), m31)
 
 
+def test_unaligned_frame_edge_mask_covered_by_crop():
+    """A mask touching the bottom/right edge of a 4-UNALIGNED frame must
+    fuse through the normal crop path. The step pads the frame to
+    4-aligned dims before cropping; without the pad, NO 4-aligned window
+    origin can cover the last h%4 rows / w%4 cols (at KITTI 1242x375
+    that is 3 rows + 2 cols), so every mask touching the frame bottom
+    falsely took the ~110 ms full-frame oversize fallback."""
+    import dataclasses
+
+    from dynslam_tpu.config import InstanceMapParams
+    from dynslam_tpu.io.segmentation import detections_from_instance_ids
+
+    Wt, Ht = 158, 117  # 158 % 4 == 2, 117 % 4 == 1
+    objid = np.zeros((Ht, Wt), np.int16)
+    objid[90:117, 120:158] = 1  # touches the bottom AND right edges
+    dets = detections_from_instance_ids(objid, min_size_px=8)
+    assert len(dets) == 1
+    bb = dets[0].copy_mask.bbox
+    assert bb.y1 == Ht - 1 and bb.x1 == Wt - 1
+
+    cfg = dataclasses.replace(
+        dynamic_config(),
+        instance_map=InstanceMapParams(
+            blocks_per_object=512, local_dims=(32, 16, 48),
+            max_new_blocks_per_frame=256, max_objects=2,
+            max_detections=4, fusion_crop=(64, 96),
+        ),
+    )
+    cfg = dataclasses.replace(cfg, frame_width=Wt, frame_height=Ht)
+    pipe = FusedDynamicPipeline(cfg, cfg.calibration, use_pallas=False)
+
+    rng = np.random.default_rng(3)
+    lg = rng.uniform(0, 255, (Ht, Wt)).astype(np.float32)
+    pipe.process_frame(lg, lg, None, [])  # bootstrap
+    pipe.process_frame(lg, lg, None, dets)
+
+    # host coverage math: the padded clamp covers the edge pixels
+    trunc = pipe._dispatch_meta[5]["trunc_px"]
+    assert int(trunc.sum()) == 0, "edge mask flagged oversize"
+    # device crop origin reached the PADDED clamp (hp, wp = 120, 160):
+    # u0 = wp - CW = 64, v0 = hp - CH = 56. The unpadded clamps aligned
+    # down to (60, 52), whose windows end at col 155 / row 115 — short
+    # of the mask's col 157 / row 116.
+    org = np.asarray(pipe.carry.pending_org[0])
+    assert org.tolist() == [64, 56], org
+
+
 @pytest.mark.slow
 def test_overlapping_masks_cut_exclusively():
     """VERDICT r3 item 6: two OVERLAPPING car masks. The staged path cuts
