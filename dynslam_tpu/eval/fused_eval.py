@@ -61,6 +61,10 @@ class FusedEvaluation(Evaluation):
         #: retry (surfaced again at close())
         self.failed_fetches = 0
         self._n_deltas = len(self._all_deltas)
+        #: device-resident all-static association map, uploaded ONCE —
+        #: submit(assoc=None) frames (the static pipeline: every frame)
+        #: otherwise pay a ~0.5 MB host->device transfer per frame
+        self._zero_assoc = None
         self._velo_to_cam = jnp.asarray(self.calib.velo_to_left_cam,
                                         jnp.float32)
         self._proj_left = jnp.asarray(self.calib.proj_left_color, jnp.float32)
@@ -99,9 +103,12 @@ class FusedEvaluation(Evaluation):
         valid = np.zeros(MAX_LIDAR_POINTS, bool)
         valid[:n] = True
         if assoc is None:
-            assoc = np.zeros(
-                (self.config.frame_height, self.config.frame_width), np.int8
-            )
+            if self._zero_assoc is None:
+                self._zero_assoc = jnp.zeros(
+                    (self.config.frame_height, self.config.frame_width),
+                    jnp.int8,
+                )
+            assoc = self._zero_assoc
 
         packed = evaluate_depth_packed_jit(
             jnp.asarray(pts), jnp.asarray(valid),

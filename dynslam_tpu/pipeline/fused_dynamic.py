@@ -169,6 +169,25 @@ def _bits_i32(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def assoc_bits_to_map(copy_bits: jnp.ndarray, codes: jnp.ndarray, k: int):
+    """Segmented-eval association map from the frame's copy-mask
+    bit-planes + per-slot int8 codes — the device equivalent of
+    eval/evaluation.py::build_association_map restricted to the K
+    selected detections, sparing the per-frame host rasterization AND
+    the ~0.5 MB (H, W) int8 upload (the planes are already on device
+    for the step). Bit order == detection order whenever no slot
+    overflow happened (select_detections only reorders past K); the
+    caller falls back to the host rasterizer otherwise. Later slots
+    overwrite earlier ones, matching the host loop's det-order
+    overwrite."""
+    bits = _bits_i32(copy_bits)
+    out = jnp.zeros(copy_bits.shape, jnp.int8)
+    for j in range(k):
+        out = jnp.where(((bits >> j) & 1) == 1, codes[j], out)
+    return out
+
+
 def route_layout(K: int, S: int):
     """(name, offset, size) layout of the packed ROUTING input vector.
 
@@ -1102,7 +1121,7 @@ class FusedDynamicPipeline:
             # the dispatch's action vector + selected detections (for the
             # exclusive full-frame mask), and the frame's device rgb
             {"trunc_px": trunc_px, "action": action, "cands": cands,
-             "rgb": rgb},
+             "rgb": rgb, "copy_bits": copy_bits},
         )
         self._reset_routing()
         self.current_frame_no += 1
@@ -1368,11 +1387,12 @@ class FusedDynamicPipeline:
             self._stash_eval(
                 frame_no, dets_full, outputs, pose,
                 int(get("used_blocks")[0]), int(get("decayed_blocks")[0]),
+                extra,
             )
 
     # ------------------------------------------------------------------
     def _stash_eval(self, frame_no, dets_full, outputs, pose_w2c,
-                    used_blocks, decayed_blocks) -> None:
+                    used_blocks, decayed_blocks, extra=None) -> None:
         """Stage frame `frame_no`'s evaluation payload: the association
         map + per-slot instance render poses are host state as of this
         frame's tracker update; the render itself must wait until the
@@ -1382,7 +1402,9 @@ class FusedDynamicPipeline:
         AFTER the frame's fusion)."""
         from types import SimpleNamespace
 
-        from dynslam_tpu.eval.evaluation import build_association_map
+        from dynslam_tpu.eval.evaluation import (
+            ASSOC_DYNAMIC, ASSOC_SKIP, build_association_map,
+        )
 
         h, w = self.cfg.height, self.cfg.width
         det_states = {}
@@ -1391,12 +1413,31 @@ class FusedDynamicPipeline:
                 if f.frame_idx <= frame_no:
                     det_states[id(f.detection)] = track.state
                     break
-        assoc = build_association_map(
-            h, w,
-            SimpleNamespace(instance_detections=dets_full)
-            if dets_full else None,
-            self.tracker, det_states=det_states,
-        )
+        pd = [d for d in (dets_full or [])
+              if d.is_possibly_dynamic()]
+        cb = extra.get("copy_bits") if extra is not None else None
+        if cb is not None and len(pd) <= self.K:
+            # device path: the copy-mask bit-planes uploaded for the step
+            # ARE build_association_map's rasterization (bit j = det j in
+            # original order when no slot overflow reordered them); only
+            # the (K,) codes travel host->device
+            codes = np.zeros(self.K, np.int8)
+            for j, det in enumerate(pd):
+                st = det_states.get(id(det))
+                codes[j] = (
+                    ASSOC_DYNAMIC
+                    if det.is_reconstructable() and st is not None
+                    and st != TrackState.UNCERTAIN
+                    else ASSOC_SKIP
+                )
+            assoc = assoc_bits_to_map(cb, jnp.asarray(codes), self.K)
+        else:
+            assoc = build_association_map(
+                h, w,
+                SimpleNamespace(instance_detections=dets_full)
+                if dets_full else None,
+                self.tracker, det_states=det_states,
+            )
         vol_c2w = np.tile(np.eye(4, dtype=np.float32), (self.S, 1, 1))
         active = np.zeros(self.S, bool)
         for track in self.tracker.active_tracks.values():
@@ -1446,12 +1487,28 @@ class FusedDynamicPipeline:
             from dynslam_tpu.instances.volume_pool import _raycast_batch
             from dynslam_tpu.ops import masks as mask_ops
 
-            rc_b = _raycast_batch(
-                self.icfg, self.use_pallas, self.S, self.carry.inst,
-                jnp.asarray(vol_c2w),
+            # raycast ONLY the active slots (the host knows which): a
+            # full-frame instance raycast per slot is the eval render's
+            # dominant cost, and empty slots contribute nothing to the
+            # z-merge. The gather is a contiguous pool-row slice per
+            # slot; the merge stays at the fixed S lane count (padded
+            # with empty layers) so it never respecializes.
+            idx = np.nonzero(active)[0]
+            states_a = jax.tree_util.tree_map(
+                lambda x: x[idx], self.carry.inst
             )
+            rc_b = _raycast_batch(
+                self.icfg, self.use_pallas, len(idx), states_a,
+                jnp.asarray(vol_c2w[idx]),
+            )
+            h, w = rc_depth.shape
+            depths = jnp.concatenate([
+                rc_b.depth,
+                jnp.zeros((self.S - len(idx), h, w), rc_b.depth.dtype),
+            ]) if len(idx) < self.S else rc_b.depth
             rendered = mask_ops.composite_depth_many(
-                jnp.asarray(rc_depth), rc_b.depth, jnp.asarray(active)
+                jnp.asarray(rc_depth), depths,
+                jnp.arange(self.S) < len(idx),
             )
         self.evaluation.submit(
             frame_no, rendered, depth_m, assoc, used_blocks, decayed_blocks

@@ -198,3 +198,57 @@ def test_fused_eval_rejects_delay(tmp_path):
             "--dataset_root", root, "--out", str(tmp_path / "o"), "--tiny",
             "--fused", "--enable_evaluation", "--evaluation_delay", "2",
         ])
+
+
+def test_device_assoc_map_matches_host_rasterizer():
+    """assoc_bits_to_map — the device association map built from the
+    step's copy-mask bit-planes (sparing the per-frame ~0.5 MB assoc
+    upload) — must match build_association_map pixel-exactly whenever
+    the detections fit the K slots: same copy-mask rasterization, same
+    det-order overwrite, same DYNAMIC/SKIP routing per track state."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from dynslam_tpu.eval.evaluation import (
+        ASSOC_DYNAMIC, ASSOC_SKIP, build_association_map,
+    )
+    from dynslam_tpu.instances.track import TrackState
+    from dynslam_tpu.io.segmentation import detections_from_instance_ids
+    from dynslam_tpu.pipeline.fused_dynamic import (
+        FusedDynamicPipeline, assoc_bits_to_map,
+    )
+
+    Ht, Wt = 96, 158
+    objid = np.zeros((Ht, Wt), np.int16)
+    objid[10:50, 10:60] = 1
+    objid[30:70, 40:100] = 2
+    objid[60:90, 120:150] = 3
+    dets = detections_from_instance_ids(objid, min_size_px=8)
+    assert len(dets) == 3
+    # mixed states: certified DYNAMIC, still-Uncertain, and no track at
+    # all (DYNAMIC only for reconstructable dets with a certain track)
+    states = {
+        id(dets[0]): TrackState.DYNAMIC,
+        id(dets[1]): TrackState.UNCERTAIN,
+    }
+    host = build_association_map(
+        Ht, Wt, SimpleNamespace(instance_detections=dets), None,
+        det_states=states,
+    )
+    assert (host == ASSOC_DYNAMIC).any() and (host == ASSOC_SKIP).any()
+
+    K = 4
+    _, cb = FusedDynamicPipeline.pack_mask_bits(dets, Ht, Wt, K)
+    codes = np.zeros(K, np.int8)
+    for j, det in enumerate(dets):
+        st = states.get(id(det))
+        codes[j] = (
+            ASSOC_DYNAMIC
+            if det.is_reconstructable() and st is not None
+            and st != TrackState.UNCERTAIN
+            else ASSOC_SKIP
+        )
+    dev = np.asarray(assoc_bits_to_map(jnp.asarray(cb),
+                                       jnp.asarray(codes), K))
+    np.testing.assert_array_equal(dev, host)
