@@ -111,8 +111,15 @@ def detect_features(gray: jnp.ndarray, params: VisualOdometryParams) -> Features
     responses = jnp.where(border[None], -jnp.inf, responses)
 
     n = params.nms_radius
+    # separable max-pool: max over a (2n+1)^2 window == row-max of
+    # col-maxes (exact), 2(2n+1) taps/px instead of (2n+1)^2
     local_max = jax.lax.reduce_window(
-        responses, -jnp.inf, jax.lax.max, (1, 2 * n + 1, 2 * n + 1), (1, 1, 1), "SAME"
+        responses, -jnp.inf, jax.lax.max, (1, 1, 2 * n + 1), (1, 1, 1),
+        "SAME",
+    )
+    local_max = jax.lax.reduce_window(
+        local_max, -jnp.inf, jax.lax.max, (1, 2 * n + 1, 1), (1, 1, 1),
+        "SAME",
     )
     is_peak = (responses >= local_max) & (responses > params_tau(params))
 
