@@ -163,7 +163,7 @@ def count_csv_rows(csv_dir: str, suffix: str) -> int:
         return max(0, sum(1 for _ in f) - 1)
 
 
-def main_dynamic(eval_on: bool = False):
+def main_dynamic(eval_on: bool = False, _timed: bool = True):
     import jax
     import numpy as np
     import jax.numpy as jnp
@@ -171,6 +171,16 @@ def main_dynamic(eval_on: bool = False):
 
     from dynslam_tpu.pipeline.builder import build_fused
 
+    if eval_on and _timed:
+        # compile pass: an eval-on run builds executables at
+        # data-dependent frames (the composited render on the first
+        # frame with an active instance, the per-dtype assoc map, the
+        # LIDAR-bucket eval kernel, ...), and any mid-window compile
+        # (~40 s) wrecks the steady-state figure. Run the whole
+        # sequence once untimed — the jit cache persists across engine
+        # instances — then measure a fresh engine.
+        print("[bench] eval-on compile pass (untimed)", file=sys.stderr)
+        main_dynamic(eval_on=True, _timed=False)
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     root = ensure_seq(dynamic=True)
     k4 = "--k4" in sys.argv
@@ -211,9 +221,23 @@ def main_dynamic(eval_on: bool = False):
         return dets, (both[0], both[1])
 
     # compile the (rare) oversized-mask fallback executable BEFORE the
-    # timed window — the bench scene's close passes trigger it, and its
-    # first call otherwise pays a ~40 s mid-sequence compile
-    engine.prewarm_oversize_fallback()
+    # timed window IF any mask in the scene will trigger it (host bbox
+    # scan, EXACTLY the dispatch-time coverage check) — its first call
+    # otherwise pays a ~40 s mid-sequence compile. Since the 4-aligned
+    # frame padding let crops reach the frame edges, the bench scenes
+    # trigger none, and the prewarm compile (~40 s, and the relay
+    # sometimes stalls big compiles ~10 min) would dominate bench wall
+    # time for an executable that never runs.
+    from dynslam_tpu.io.segmentation import PrecomputedSegmentationProvider
+    scan = PrecomputedSegmentationProvider(root + "/seg_image_2/mnc")
+    needs_fallback = any(
+        engine.mask_exceeds_crop(d, H, W)
+        for _ in range(N_FRAMES)
+        for d in engine.select_detections(
+            scan.segment_frame(None).instance_detections, engine.K)
+    )
+    if needs_fallback:
+        engine.prewarm_oversize_fallback()
 
     fut = pool.submit(seg_job, 0)
     frame_times = []
@@ -277,12 +301,17 @@ def main_dynamic(eval_on: bool = False):
     return res
 
 
-def main_static(eval_on: bool = False):
+def main_static(eval_on: bool = False, _timed: bool = True):
     import jax
     import numpy as np
 
     from dynslam_tpu.pipeline.builder import build_fused
 
+    if eval_on and _timed:
+        # compile pass — see main_dynamic: eval executables build at
+        # data-dependent frames; compile untimed first, then measure
+        print("[bench] eval-on compile pass (untimed)", file=sys.stderr)
+        main_static(eval_on=True, _timed=False)
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     root = ensure_seq(dynamic=False)
     cfg = bench_config(dynamic=False)

@@ -47,6 +47,21 @@ ASSOC_DYNAMIC = 1
 ASSOC_SKIP = 2
 
 MAX_LIDAR_POINTS = 1 << 17  # 131072; KITTI velodyne frames are ~120k
+#: smallest padded LIDAR upload (points) — scans pad to the next power
+#: of two in [MIN, MAX]: a fixed 131072-row buffer costs a ~1.6 MB
+#: host->device transfer per frame (~33 ms through the relay, measured)
+#: when the scan holds ~19k points; bucketing keeps the per-frame upload
+#: proportional, at one eval executable per distinct bucket
+MIN_LIDAR_BUCKET = 1 << 14
+
+
+def lidar_bucket(n: int) -> int:
+    """Next power-of-two buffer size in [MIN_LIDAR_BUCKET,
+    MAX_LIDAR_POINTS] holding n points."""
+    b = MIN_LIDAR_BUCKET
+    while b < n and b < MAX_LIDAR_POINTS:
+        b <<= 1
+    return b
 
 
 @partial(
@@ -386,9 +401,10 @@ class Evaluation:
         assoc: np.ndarray,
     ) -> np.ndarray:
         n = min(len(lidar), MAX_LIDAR_POINTS)
-        pts = np.zeros((MAX_LIDAR_POINTS, 3), np.float32)
+        cap = lidar_bucket(n)
+        pts = np.zeros((cap, 3), np.float32)
         pts[:n] = lidar[:n, :3]
-        valid = np.zeros(MAX_LIDAR_POINTS, bool)
+        valid = np.zeros(cap, bool)
         valid[:n] = True
 
         counts, gt_stats = evaluate_depth_jit(

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dynslam_tpu.eval.evaluation import (
-    MAX_LIDAR_POINTS, Evaluation, evaluate_depth_packed_jit,
+    MAX_LIDAR_POINTS, Evaluation, evaluate_depth_packed_jit, lidar_bucket,
 )
 from dynslam_tpu.eval.records import MemoryUsageEntry
 from dynslam_tpu.ops.tsdf import BLOCK3, BYTES_PER_VOXEL
@@ -98,9 +98,10 @@ class FusedEvaluation(Evaluation):
             return
         lidar = self.velodyne.read_frame(input_frame_idx)
         n = min(len(lidar), MAX_LIDAR_POINTS)
-        pts = np.zeros((MAX_LIDAR_POINTS, 3), np.float32)
+        cap = lidar_bucket(n)  # proportional upload, see evaluation.py
+        pts = np.zeros((cap, 3), np.float32)
         pts[:n] = lidar[:n, :3]
-        valid = np.zeros(MAX_LIDAR_POINTS, bool)
+        valid = np.zeros(cap, bool)
         valid[:n] = True
         if assoc is None:
             if self._zero_assoc is None:

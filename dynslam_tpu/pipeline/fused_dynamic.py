@@ -1049,22 +1049,18 @@ class FusedDynamicPipeline:
                 # oversized-mask check: would the bbox-centred fusion
                 # crop lose copy-mask pixels? (the reference fuses the
                 # full masked view whatever the size,
-                # InstanceReconstructor.cpp:569-700). The test is the
-                # crop WINDOW's actual coverage — EXACTLY the device's
-                # crop-origin math (crop_one) including the 4-alignment
-                # and the 4-aligned frame padding that lets windows reach
-                # the bottom/right edges
-                hp, wp = -(-h // 4) * 4, -(-w // 4) * 4
-                u0 = min(max(int((bb.x0 + bb.x1) * 0.5)
-                             - self.crop_w // 2, 0), wp - self.crop_w)
-                v0 = min(max(int((bb.y0 + bb.y1) * 0.5)
-                             - self.crop_h // 2, 0), hp - self.crop_h)
-                u0 = (u0 // 4) * 4
-                v0 = (v0 // 4) * 4
-                covered = (bb.x0 >= u0 and bb.x1 <= u0 + self.crop_w - 1
-                           and bb.y0 >= v0
-                           and bb.y1 <= v0 + self.crop_h - 1)
-                if not covered:
+                # InstanceReconstructor.cpp:569-700). mask_exceeds_crop
+                # is EXACTLY the device's crop-origin math (crop_one)
+                # including the 4-aligned frame padding that lets
+                # windows reach the bottom/right edges
+                if self.mask_exceeds_crop(det, h, w):
+                    hp, wp = -(-h // 4) * 4, -(-w // 4) * 4
+                    u0 = min(max(int((bb.x0 + bb.x1) * 0.5)
+                                 - self.crop_w // 2, 0), wp - self.crop_w)
+                    v0 = min(max(int((bb.y0 + bb.y1) * 0.5)
+                                 - self.crop_h // 2, 0), hp - self.crop_h)
+                    u0 = (u0 // 4) * 4
+                    v0 = (v0 // 4) * 4
                     full = det.copy_mask.to_full_frame(h, w)
                     inside = full[v0: v0 + self.crop_h,
                                   u0: u0 + self.crop_w].sum()
@@ -1168,6 +1164,23 @@ class FusedDynamicPipeline:
             jnp.int32(self.decay_params.min_decay_age),
         )
         self.carry = self.carry._replace(inst=inst2, inst_fidx=fidx2)
+
+    def mask_exceeds_crop(self, det, h: int, w: int) -> bool:
+        """Host coverage check of the bbox-centred fusion window —
+        EXACTLY crop_one's origin math (4-aligned origins on the
+        4-aligned padded frame). True = this mask would lose pixels to
+        the crop and take the full-frame fallback. Shared by the
+        per-frame dispatch accounting and bench.py's prewarm decision."""
+        bb = det.copy_mask.bbox
+        hp, wp = -(-h // 4) * 4, -(-w // 4) * 4
+        u0 = min(max(int((bb.x0 + bb.x1) * 0.5) - self.crop_w // 2, 0),
+                 wp - self.crop_w)
+        v0 = min(max(int((bb.y0 + bb.y1) * 0.5) - self.crop_h // 2, 0),
+                 hp - self.crop_h)
+        u0 = (u0 // 4) * 4
+        v0 = (v0 // 4) * 4
+        return not (bb.x0 >= u0 and bb.x1 <= u0 + self.crop_w - 1
+                    and bb.y0 >= v0 and bb.y1 <= v0 + self.crop_h - 1)
 
     def prewarm_oversize_fallback(self) -> None:
         """Compile the full-frame fallback fusion executable ahead of
