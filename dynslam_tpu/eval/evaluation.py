@@ -121,12 +121,29 @@ def evaluate_depth_jit(
 
     colc = jnp.clip(col, 0, width - 1)
     rowc = jnp.clip(row, 0, height - 1)
-    rend_d = rendered_depth_m[rowc, colc]
-    inp_d = input_depth_m[rowc, colc]
-    assoc = assoc_map[rowc, colc]
+    # ONE per-point image lookup instead of three: computed-index
+    # gathers cost ~120 ns/element on TPU (PERFORMANCE.md), so at ~20k
+    # LIDAR points the three f32/int8 gathers were ~2/3 of the eval
+    # kernel. Pack (rendered mm: 15 bits | input mm: 15 | assoc: 2)
+    # into one int32 image (a cheap elementwise VPU pass) and gather
+    # once. Depths quantize to 1 mm FOR THIS COMPARISON (disparity
+    # error <= bf/d^2 * 1e-3 px, ~0.1 px at 2 m against 1-5 px delta
+    # thresholds); 15 bits hold max_depth*1.05 up to 32.7 m; mm == 0
+    # reproduces the abs(d) < 1e-5 missing test for any d below the
+    # physical min_depth.
+    rend_mm = jnp.clip(jnp.round(rendered_depth_m * 1000.0),
+                       0, 32767).astype(jnp.int32)
+    inp_mm = jnp.clip(jnp.round(input_depth_m * 1000.0),
+                      0, 32767).astype(jnp.int32)
+    packed_img = (rend_mm << 17) | (inp_mm << 2) \
+        | assoc_map.astype(jnp.int32)
+    at = packed_img[rowc, colc]
+    rend_d = (at >> 17).astype(jnp.float32) * 1e-3
+    inp_d = ((at >> 2) & 0x7FFF).astype(jnp.float32) * 1e-3
+    assoc = at & 3
 
-    missing_rend = jnp.abs(rend_d) < 1e-5
-    missing_inp = jnp.abs(inp_d) < 1e-5
+    missing_rend = rend_d == 0.0
+    missing_inp = inp_d == 0.0
     rend_disp = bf / jnp.where(missing_rend, jnp.inf, rend_d)
     inp_disp = bf / jnp.where(missing_inp, jnp.inf, inp_d)
     rend_delta = jnp.abs(rend_disp - lidar_disp)

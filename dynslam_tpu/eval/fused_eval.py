@@ -15,9 +15,9 @@ rows, in frame order, the staged path writes inline.
 from __future__ import annotations
 
 import sys
-import threading
 from collections import deque
-from typing import Dict, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +27,12 @@ from dynslam_tpu.eval.evaluation import (
 )
 from dynslam_tpu.eval.records import MemoryUsageEntry
 from dynslam_tpu.ops.tsdf import BLOCK3, BYTES_PER_VOXEL
+
+
+def _fetch(dev) -> np.ndarray:
+    """The worker's device->host result fetch (module-level so tests can
+    simulate a transiently failing relay)."""
+    return np.asarray(dev)
 
 
 class FusedEvaluation(Evaluation):
@@ -57,6 +63,10 @@ class FusedEvaluation(Evaluation):
         self._dataset_id = input_.get_dataset_identifier()
         self._frame_offset = input_.frame_offset
         self._pending: deque = deque()
+        #: the single eval worker: one thread keeps CSV rows in frame
+        #: order without locks; depth ~ max_outstanding
+        self._exec = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="fused-eval")
         #: background fetches that failed and fell back to a synchronous
         #: retry (surfaced again at close())
         self.failed_fetches = 0
@@ -83,19 +93,31 @@ class FusedEvaluation(Evaluation):
         decayed_blocks,  # i32 host int or device scalar (cumulative)
     ) -> None:
         """Evaluate one finished frame from device-resident depth maps.
-        Never blocks on the device: all fetches happen on the background
-        thread (or, for LIDAR-less frames, at join time)."""
+        The ENTIRE job — LIDAR file read, point upload, eval dispatch,
+        and the blocking result fetch — runs on the single eval worker
+        thread, so the frame loop pays only the enqueue (the reference
+        evaluates synchronously inside its loop, DynSlam.cpp:154-161;
+        the measured cost here was ~8 ms upload + dispatch per frame on
+        the timed thread). The single worker keeps frame order."""
         if not self.params.enabled:
             return
+        fut = self._exec.submit(
+            self._eval_job, eval_frame, rendered_depth_dev,
+            input_depth_dev, assoc, used_blocks, decayed_blocks,
+        )
+        self._pending.append((eval_frame, fut))
+        self._drain_over(self.max_outstanding)
+
+    def _eval_job(self, eval_frame, rendered_depth_dev, input_depth_dev,
+                  assoc, used_blocks, decayed_blocks):
+        """Worker-side: returns ("mem", used, decayed) for LIDAR-less
+        frames or ("eval", packed_np)."""
         input_frame_idx = self._frame_offset + eval_frame
         if not self.velodyne.frame_available(input_frame_idx):
             # skip the depth eval (Evaluation.cpp:54-59) but keep the
             # per-frame memory entry, like the reference's LogMemoryUse
-            self._pending.append(
-                ("mem", eval_frame, used_blocks, decayed_blocks)
-            )
-            self._drain_over(self.max_outstanding)
-            return
+            return ("mem", int(np.asarray(used_blocks)),
+                    int(np.asarray(decayed_blocks)))
         lidar = self.velodyne.read_frame(input_frame_idx)
         n = min(len(lidar), MAX_LIDAR_POINTS)
         cap = lidar_bucket(n)  # proportional upload, see evaluation.py
@@ -127,15 +149,20 @@ class FusedEvaluation(Evaluation):
             delta_maxes=self._all_deltas,
             kitti_style=self._kitti_flags,
         )
-        holder: Dict[str, np.ndarray] = {}
-
-        def fetch():
-            holder["v"] = np.asarray(packed)
-
-        th = threading.Thread(target=fetch, daemon=True)
-        th.start()
-        self._pending.append(("eval", eval_frame, th, holder, packed))
-        self._drain_over(self.max_outstanding)
+        try:
+            return ("eval", _fetch(packed))
+        except Exception:
+            # transient relay/backend error on the background fetch:
+            # retry synchronously so the frame's rows still land — but
+            # LOUDLY (the reference's per-frame error barrier ethos,
+            # DynSlam.cpp:163-172): a systematically failing fetch
+            # degrades every frame to a synchronous stall
+            self.failed_fetches += 1
+            print(f"[WARNING: eval fetch thread failed for frame "
+                  f"{eval_frame}; retrying synchronously "
+                  f"({self.failed_fetches} failures so far)]",
+                  file=sys.stderr)
+            return ("eval", np.asarray(packed))
 
     # ------------------------------------------------------------------
     def _write_memory_row(self, eval_frame: int, used: int,
@@ -147,28 +174,12 @@ class FusedEvaluation(Evaluation):
         ))
 
     def _join_oldest(self) -> None:
-        ent = self._pending.popleft()
-        if ent[0] == "mem":
-            _, eval_frame, used, decayed = ent
-            self._write_memory_row(
-                eval_frame, int(np.asarray(used)), int(np.asarray(decayed))
-            )
+        eval_frame, fut = self._pending.popleft()
+        kind, *payload = fut.result()
+        if kind == "mem":
+            self._write_memory_row(eval_frame, *payload)
             return
-        _, eval_frame, th, holder, dev = ent
-        th.join()
-        packed = holder.get("v")
-        if packed is None:
-            # transient relay/backend error on the background fetch:
-            # retry synchronously so the frame's rows still land — but
-            # LOUDLY (the reference's per-frame error barrier ethos,
-            # DynSlam.cpp:163-172): a systematically failing fetch
-            # thread degrades every frame to a synchronous stall
-            self.failed_fetches += 1
-            print(f"[WARNING: eval fetch thread failed for frame "
-                  f"{eval_frame}; retrying synchronously "
-                  f"({self.failed_fetches} failures so far)]",
-                  file=sys.stderr)
-            packed = np.asarray(dev)
+        packed = payload[0]
         nc = self._n_deltas * 3 * 2 * 4
         counts = packed[:nc].reshape(self._n_deltas, 3, 2, 4)
         epi, neg, n_ok = (int(x) for x in packed[nc:nc + 3])
@@ -187,6 +198,7 @@ class FusedEvaluation(Evaluation):
 
     def close(self) -> None:
         self.drain()
+        self._exec.shutdown(wait=True)
         if self.failed_fetches:
             print(f"[WARNING: {self.failed_fetches} eval background "
                   f"fetches failed over the run (each degraded that "

@@ -145,28 +145,16 @@ def test_fused_dynamic_eval_composited(tmp_path, lag):
 
 def test_fused_eval_failed_fetch_degrades_loudly(tmp_path, monkeypatch,
                                                  capsys):
-    """A failing background fetch thread degrades each frame to a
-    synchronous retry — with a per-frame warning and a summary count at
-    close() (the reference's loud per-frame error barrier ethos,
+    """A failing background fetch degrades each frame to a synchronous
+    retry — with a per-frame warning and a summary count at close()
+    (the reference's loud per-frame error barrier ethos,
     DynSlam.cpp:163-172) — while still writing every CSV row."""
-    from types import SimpleNamespace
-
     import dynslam_tpu.eval.fused_eval as fe
 
-    class _DeadThread:
-        """A Thread that never runs its target (simulated relay error)."""
+    def _dead_fetch(dev):
+        raise RuntimeError("simulated relay error")
 
-        def __init__(self, target=None, daemon=None):
-            pass
-
-        def start(self):
-            pass
-
-        def join(self):
-            pass
-
-    monkeypatch.setattr(fe, "threading",
-                        SimpleNamespace(Thread=_DeadThread))
+    monkeypatch.setattr(fe, "_fetch", _dead_fetch)
 
     root = str(tmp_path / "seq")
     write_kitti_sequence(root, num_frames=4, width=160, height=120,
