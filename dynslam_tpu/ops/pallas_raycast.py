@@ -99,6 +99,7 @@ def build_candidates(
     mask: jnp.ndarray,  # (V,) bool
     origin: jnp.ndarray,  # (3,) local-window origin (block coords)
     world_to_cam: jnp.ndarray,
+    intr4=None,  # (4,) fx fy cx cy override (crop viewports)
 ):
     """Per-tile candidate block lists: (cand_slot (T,K), linq (T,K*4),
     bx/by/bz (T*K,)). Sentinel entries use the reserved scratch row."""
@@ -125,8 +126,12 @@ def build_candidates(
     z_max = z.max(axis=1)
     near = z_min < 0.05  # block reaches behind the near plane
     zc = jnp.maximum(z, 0.05)
-    u = pc[..., 0] / zc * cfg.fx + cfg.cx
-    v = pc[..., 1] / zc * cfg.fy + cfg.cy
+    if intr4 is None:
+        fx_p, fy_p, cx_p, cy_p = cfg.fx, cfg.fy, cfg.cx, cfg.cy
+    else:
+        fx_p, fy_p, cx_p, cy_p = intr4[0], intr4[1], intr4[2], intr4[3]
+    u = pc[..., 0] / zc * fx_p + cx_p
+    v = pc[..., 1] / zc * fy_p + cy_p
     u_min = jnp.where(near, -_BIG, u.min(axis=1))
     u_max = jnp.where(near, _BIG, u.max(axis=1))
     v_min = jnp.where(near, -_BIG, v.min(axis=1))
@@ -586,7 +591,8 @@ def _kernel_factory(cfg: T.TsdfConfig, n_steps: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit,
+         static_argnames=("cfg", "interpret", "with_tile_steps"))
 def raycast_tiled(
     cfg: T.TsdfConfig,
     state: T.TsdfState,
@@ -596,9 +602,12 @@ def raycast_tiled(
     cam_to_world: jnp.ndarray,
     intrinsics: jnp.ndarray,  # (4,) fx, fy, cx, cy
     interpret: bool = False,
+    with_tile_steps: bool = False,
 ) -> T.Raycast:
     """Drop-in replacement for ops.tsdf.raycast at the configured frame
-    size (free-camera / rescaled renders use the XLA path)."""
+    size (free-camera / rescaled renders use the XLA path).
+    `with_tile_steps=True` additionally returns the per-tile marched
+    step counts (ty_n, tx_n) — profiling only."""
     P = cfg.pool_capacity
     K = cfg.raycast_cand_k
     ty_n, tx_n = _tile_counts(cfg)
@@ -610,8 +619,11 @@ def raycast_tiled(
     h, w = cfg.height, cfg.width
 
     world_to_cam = jnp.linalg.inv(cam_to_world)
+    # candidates must project with the SAME principal point the rays use
+    # (crop viewports render with a shifted cx/cy)
     cand_slot, linq, bx, by, bz, n_cand = build_candidates(
-        cfg, state, slots, slots_mask, origin, world_to_cam
+        cfg, state, slots, slots_mask, origin, world_to_cam,
+        intr4=intrinsics,
     )
 
     params = jnp.zeros((6, 4), jnp.float32)
@@ -696,7 +708,10 @@ def raycast_tiled(
     color = jnp.where(
         hit[..., None], T.unpack_rgb(color_bits), jnp.zeros(3, jnp.uint8)
     )
-    return T.Raycast(
+    rc = T.Raycast(
         depth=t_img, points=points, color=color, weight=weight, hit=hit,
         march_samples=jnp.sum(tile_steps) * (TILE_H * TILE_W),
     )
+    if with_tile_steps:
+        return rc, tile_steps
+    return rc

@@ -169,6 +169,44 @@ def _bits_i32(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("icfg", "use_pallas"))
+def render_instance_crop(icfg, use_pallas, inst, slot, c2w, intr4):
+    """Depth render of ONE pooled instance volume into a (icfg.height,
+    icfg.width) crop viewport whose principal point is shifted by the
+    crop origin — the eval compositor's fast path. An active instance
+    covers a handful of image tiles, but a full-frame render pays the
+    whole frame's tile grid in candidate prep + kernel launches per
+    slot; rendering the detection-bbox window instead makes the eval
+    render cost proportional to the object's screen area."""
+    st = jax.tree_util.tree_map(lambda x: x[slot], inst)
+    origin = tsdf.compute_origin(icfg, c2w)
+    grid = tsdf.build_local_grid(icfg, st, origin)
+    if use_pallas:
+        from dynslam_tpu.ops.pallas_raycast import raycast_tiled
+
+        slots, mask = tsdf.visible_blocks(
+            icfg, st, grid, origin, jnp.linalg.inv(c2w), intr4=intr4
+        )
+        rc = raycast_tiled(icfg, st, slots, mask, origin, c2w, intr4)
+    else:
+        rc = tsdf.raycast(icfg, st, grid, origin, c2w, intr4)
+    return rc.depth
+
+
+@jax.jit
+def merge_crop_depth(target: jnp.ndarray, crop: jnp.ndarray,
+                     v0: jnp.ndarray, u0: jnp.ndarray) -> jnp.ndarray:
+    """Z-merge a crop render into the full-frame depth at (v0, u0) —
+    the same nearest-wins rule as ops/masks.py::composite_depth."""
+    ch, cw = crop.shape
+    region = jax.lax.dynamic_slice(target, (v0, u0), (ch, cw))
+    src = jnp.where(crop > 0.0, crop, jnp.inf)
+    dst = jnp.where(region > 0.0, region, jnp.inf)
+    merged = jnp.minimum(src, dst)
+    merged = jnp.where(jnp.isinf(merged), 0.0, merged)
+    return jax.lax.dynamic_update_slice(target, merged, (v0, u0))
+
+
 @partial(jax.jit, static_argnames=("k",))
 def assoc_bits_to_map(copy_bits: jnp.ndarray, codes: jnp.ndarray, k: int):
     """Segmented-eval association map from the frame's copy-mask
@@ -764,6 +802,13 @@ class FusedDynamicPipeline:
         self.crop_w = min(imp.fusion_crop[1], config.frame_width)
         self.icfg_fuse = dataclasses.replace(
             self.icfg, width=self.crop_w, height=self.crop_h
+        )
+        #: eval-render viewport (render_instance_crop): same crop dims;
+        #: None when the crop would be the whole frame anyway
+        self.icfg_render = (
+            self.icfg_fuse
+            if (self.crop_h, self.crop_w)
+            != (config.frame_height, config.frame_width) else None
         )
         self.stereo_params = config.stereo
         self.vo_params = config.vo
@@ -1453,6 +1498,13 @@ class FusedDynamicPipeline:
             )
         vol_c2w = np.tile(np.eye(4, dtype=np.float32), (self.S, 1, 1))
         active = np.zeros(self.S, bool)
+        #: per-slot eval-render viewport origin (u0, v0), and whether the
+        #: detection bbox (+motion margin) fits the crop — slots that
+        #: don't (or tracks with no detection at this frame) render
+        #: full-frame
+        vol_org = np.zeros((self.S, 2), np.int32)
+        vol_crop = np.zeros(self.S, bool)
+        margin = min(48, self.crop_h // 4, self.crop_w // 4)
         for track in self.tracker.active_tracks.values():
             if not track.has_reconstruction() or not track.frames:
                 continue
@@ -1471,6 +1523,19 @@ class FusedDynamicPipeline:
             slot = track.reconstruction.slot
             vol_c2w[slot] = np.linalg.inv(vol_w2c).astype(np.float32)
             active[slot] = True
+            if self.icfg_render is not None \
+                    and track.frames[k].frame_idx == frame_no:
+                bb = track.frames[k].detection.copy_mask.bbox
+                ch, cw = self.crop_h, self.crop_w
+                u0 = min(max(int((bb.x0 + bb.x1) * 0.5) - cw // 2, 0),
+                         w - cw)
+                v0 = min(max(int((bb.y0 + bb.y1) * 0.5) - ch // 2, 0),
+                         h - ch)
+                if (bb.x0 - margin >= u0 and bb.x1 + margin < u0 + cw
+                        and bb.y0 - margin >= v0
+                        and bb.y1 + margin < v0 + ch):
+                    vol_org[slot] = (u0, v0)
+                    vol_crop[slot] = True
         self.evaluation.log_tracker(
             frame_no, len(self.tracker.active_tracks), int(active.sum()),
             self._dropped_detections, self.oversize_masks,
@@ -1478,7 +1543,8 @@ class FusedDynamicPipeline:
         )
         self._eval_pending = (
             frame_no, outputs.raycast.depth, outputs.depth_m, assoc,
-            vol_c2w, active, used_blocks, decayed_blocks,
+            vol_c2w, active, vol_org, vol_crop, used_blocks,
+            decayed_blocks,
             frame_no + self.dispatch_lag,  # ready after this dispatch
         )
 
@@ -1490,7 +1556,8 @@ class FusedDynamicPipeline:
         if self._eval_pending is None or self.evaluation is None:
             return
         (frame_no, rc_depth, depth_m, assoc, vol_c2w, active,
-         used_blocks, decayed_blocks, ready) = self._eval_pending
+         vol_org, vol_crop, used_blocks, decayed_blocks,
+         ready) = self._eval_pending
         last_dispatched = self.current_frame_no - 1
         if last_dispatched < ready and not force:
             return
@@ -1500,29 +1567,49 @@ class FusedDynamicPipeline:
             from dynslam_tpu.instances.volume_pool import _raycast_batch
             from dynslam_tpu.ops import masks as mask_ops
 
-            # raycast ONLY the active slots (the host knows which): a
-            # full-frame instance raycast per slot is the eval render's
-            # dominant cost, and empty slots contribute nothing to the
-            # z-merge. The gather is a contiguous pool-row slice per
-            # slot; the merge stays at the fixed S lane count (padded
-            # with empty layers) so it never respecializes.
-            idx = np.nonzero(active)[0]
-            states_a = jax.tree_util.tree_map(
-                lambda x: x[idx], self.carry.inst
-            )
-            rc_b = _raycast_batch(
-                self.icfg, self.use_pallas, len(idx), states_a,
-                jnp.asarray(vol_c2w[idx]),
-            )
-            h, w = rc_depth.shape
-            depths = jnp.concatenate([
-                rc_b.depth,
-                jnp.zeros((self.S - len(idx), h, w), rc_b.depth.dtype),
-            ]) if len(idx) < self.S else rc_b.depth
-            rendered = mask_ops.composite_depth_many(
-                jnp.asarray(rc_depth), depths,
-                jnp.arange(self.S) < len(idx),
-            )
+            # crop-viewport renders for slots whose detection bbox (+
+            # margin) fits the crop: the render cost follows the
+            # object's screen area instead of the frame (the full-frame
+            # path pays the whole tile grid per slot)
+            fx, fy, cx, cy = (float(self.intr_vec[0]),
+                              float(self.intr_vec[1]),
+                              float(self.intr_vec[2]),
+                              float(self.intr_vec[3]))
+            for s in np.nonzero(active & vol_crop)[0]:
+                u0, v0 = int(vol_org[s, 0]), int(vol_org[s, 1])
+                intr4 = jnp.asarray(
+                    [fx, fy, cx - u0, cy - v0], jnp.float32)
+                crop = render_instance_crop(
+                    self.icfg_render, self.use_pallas, self.carry.inst,
+                    jnp.int32(s), jnp.asarray(vol_c2w[s]), intr4,
+                )
+                rendered = merge_crop_depth(
+                    jnp.asarray(rendered), crop,
+                    jnp.int32(v0), jnp.int32(u0),
+                )
+
+            # full-frame renders for the rest (oversize/stale-bbox
+            # slots): raycast ONLY those slots, merge at the fixed S
+            # lane count (padded) so the compositor never respecializes
+            idx = np.nonzero(active & ~vol_crop)[0]
+            if len(idx):
+                states_a = jax.tree_util.tree_map(
+                    lambda x: x[idx], self.carry.inst
+                )
+                rc_b = _raycast_batch(
+                    self.icfg, self.use_pallas, len(idx), states_a,
+                    jnp.asarray(vol_c2w[idx]),
+                )
+                h, w = rc_depth.shape
+                depths = jnp.concatenate([
+                    rc_b.depth,
+                    jnp.zeros((self.S - len(idx), h, w),
+                              rc_b.depth.dtype),
+                ]) if len(idx) < self.S else rc_b.depth
+                rendered = mask_ops.composite_depth_many(
+                    jnp.asarray(rendered), depths,
+                    jnp.arange(self.S) < len(idx),
+                )
         self.evaluation.submit(
             frame_no, rendered, depth_m, assoc, used_blocks, decayed_blocks
         )

@@ -240,3 +240,90 @@ def test_device_assoc_map_matches_host_rasterizer():
     dev = np.asarray(assoc_bits_to_map(jnp.asarray(cb),
                                        jnp.asarray(codes), K))
     np.testing.assert_array_equal(dev, host)
+
+
+@pytest.mark.slow
+def test_crop_viewport_eval_render_matches_fullframe(tmp_path):
+    """The eval compositor's crop-viewport instance render (the fast
+    path when the detection bbox fits the fusion crop) must produce the
+    same composited depth as the full-frame instance raycast wherever
+    the object renders — pinned by running the fused dynamic eval with
+    a small fusion crop (crop path forced) and with crop == frame
+    (full path only) on the same sequence and comparing the dynamic
+    bucket's CSV rows."""
+    import dataclasses
+
+    from dynslam_tpu.config import EvaluationParams, InstanceMapParams
+    from dynslam_tpu.ops import depth as depth_ops
+    from dynslam_tpu.pipeline.builder import build_fused
+    from tests.test_dynamic_pipeline import dynamic_config
+
+    root = str(tmp_path / "seq")
+    write_kitti_sequence(root, num_frames=7, width=240, height=160,
+                         with_dynamic=True, write_velodyne=True)
+
+    def run(disable_crop_render, csv_dir):
+        # SAME config both runs (the fusion crop changes the fused
+        # volumes themselves); only the eval RENDER path differs
+        cfg = dataclasses.replace(
+            dynamic_config(),
+            evaluation=EvaluationParams(enabled=True,
+                                        semantic_evaluation=True),
+        )
+        imp = dataclasses.asdict(cfg.instance_map)
+        imp.update(blocks_per_object=1024, local_dims=(48, 24, 64),
+                   max_new_blocks_per_frame=512, fusion_crop=(112, 160))
+        cfg = dataclasses.replace(cfg,
+                                  instance_map=InstanceMapParams(**imp))
+        pipe, input_, segp = build_fused(
+            root, cfg, min_detection_size_px=8,
+            with_evaluation=True, csv_out_dir=csv_dir,
+        )
+        if disable_crop_render:
+            pipe.icfg_render = None
+        n_crop_renders = [0]
+        orig = pipe._flush_eval
+
+        def counting_flush(force=False):
+            if pipe._eval_pending is not None:
+                n_crop_renders[0] += int(
+                    (pipe._eval_pending[5] & pipe._eval_pending[7]).sum()
+                )
+            orig(force)
+
+        pipe._flush_eval = counting_flush
+        while input_.has_more_images():
+            input_.read_next_frame()
+            rgb, _ = input_.get_images()
+            right_rgb = input_.get_stereo_color()[1]
+            lg = np.asarray(depth_ops.rgb_to_gray(rgb))
+            rg = np.asarray(depth_ops.rgb_to_gray(right_rgb))
+            dets = segp.segment_frame(rgb).instance_detections
+            pipe.process_frame(lg, rg, rgb, dets)
+        pipe.finalize()
+        pipe.evaluation.close()
+        return n_crop_renders[0]
+
+    crop_n = run(False, str(tmp_path / "csv_crop"))
+    full_n = run(True, str(tmp_path / "csv_full"))
+    assert crop_n > 0, (
+        "crop-viewport render never ran — the fast path is untested "
+        "(bbox + margin never fit the 112x160 crop?)"
+    )
+    assert full_n == 0  # icfg_render disabled: full-frame renders only
+
+    dyn_a = _rows_by_frame(str(tmp_path / "csv_crop"),
+                           "*dynamic-depth-result.csv")
+    dyn_b = _rows_by_frame(str(tmp_path / "csv_full"),
+                           "*dynamic-depth-result.csv")
+    assert set(dyn_a) == set(dyn_b)
+    # the crop render's shifted principal point ((u - (cx - u0)) vs
+    # ((u + u0) - cx)) is float-equivalent but not bit-identical, so a
+    # borderline ray may flip: allow a couple of counts per field
+    for f in dyn_a:
+        for col, va in dyn_a[f].items():
+            if col == "frame":
+                continue
+            assert abs(int(va) - int(dyn_b[f][col])) <= 2, (
+                f"frame {f} col {col}: crop {va} vs full {dyn_b[f][col]}"
+            )
