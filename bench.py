@@ -421,12 +421,22 @@ if __name__ == "__main__":
         # evaluates every frame), then the eval-off headline numbers.
         # The dynamic eval-off line lands in BENCH_DYNAMIC.json (with the
         # eval-on numbers as extra fields); the static eval-off line
-        # prints LAST (the driver records the final JSON line).
-        dyn_eval = main_dynamic(eval_on=True)
+        # prints LAST (the driver records the final JSON line). The
+        # eval-on modes are guarded: a failure there must never cost the
+        # headline eval-off lines.
+        def _guard(fn, **kw):
+            import traceback
+            try:
+                return fn(**kw)
+            except Exception:
+                traceback.print_exc()
+                return {"value": None, "error": "eval-on mode failed"}
+
+        dyn_eval = _guard(main_dynamic, eval_on=True)
         print(json.dumps(dyn_eval))
         dyn_res = main_dynamic(eval_on=False)
         print(json.dumps(dyn_res))
-        sta_eval = main_static(eval_on=True)
+        sta_eval = _guard(main_static, eval_on=True)
         print(json.dumps(sta_eval))
         dyn_res["eval_on_fps"] = dyn_eval["value"]
         dyn_res["eval_csv_rows"] = dyn_eval.get("eval_csv_rows", 0)
