@@ -59,7 +59,11 @@ TILE_W = 128
 #: march on [:K_LIGHT] slices of the candidate arrays (exact — the lists
 #: are nearest-first with sentinel padding, so rows past the count
 #: contribute nothing), cutting the per-step interval scans and the
-#: one-hot MXU contraction 4x for the ~half of tiles that qualify
+#: one-hot MXU contraction 4x for qualifying tiles. NOTE (round-5
+#: measurement): at bench-scale maps (>= ~15k blocks) only ~2% of tiles
+#: still qualify — the tier pays for itself on small/instance maps and
+#: early frames; the heavy tier dominates at scale, and K_MID=32 was
+#: re-A/B'd there (still no win, 9.653 vs 9.682 FPS end-to-end).
 K_LIGHT = 16
 
 #: optional middle tier: tiles with K_LIGHT < count <= K_MID march on
