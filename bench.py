@@ -27,9 +27,13 @@ page cache; disk IO is not the system under test) with per-run +-1 gray
 noise — the TPU relay memoizes identical computations across processes,
 so timing MUST use fresh-entropy inputs.
 
-`python bench.py` measures all four: dynamic eval-on, dynamic eval-off
-(-> BENCH_DYNAMIC.json), static eval-on, then static eval-off, whose
-JSON line prints LAST (the driver's capture). Each prints ONE JSON line
+`python bench.py` measures all four modes, each in a timeout-bounded
+subprocess (relay bad periods stall compiles 10-20 min; one wedged mode
+must not cost the others): static eval-off FIRST (headline, printed
+immediately as a crash guard), dynamic eval-off (-> BENCH_DYNAMIC.json),
+dynamic eval-on, static eval-on (-> BENCH_EVAL.json), then the static
+eval-off line again LAST (the driver records the final JSON line). Each
+mode prints ONE JSON line
 {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps / 2.5}.
 vs_baseline is against the reference system's ~2.5 Hz on its desktop GPU
 (ICRA'18 paper figure; the repo itself publishes no numbers, BASELINE.md).
@@ -409,6 +413,35 @@ def _write_json(path, obj):
         print(f"[bench] {path} write failed: {e}", file=sys.stderr)
 
 
+def _run_mode(flags, timeout_s):
+    """Run one bench mode as a subprocess with a hard timeout.
+
+    The TPU relay has bad periods where EVERY fresh compile stalls
+    10-20 min (CLAUDE.md trap 9); a stalled in-process compile cannot be
+    interrupted, so per-mode isolation + kill is the only reliable bound
+    that keeps one wedged mode from costing the other modes' numbers.
+    Returns the child's final stdout JSON line, or an error dict.
+    """
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__)] + flags
+    print(f"[bench] mode {' '.join(flags)} (timeout {timeout_s}s)",
+          file=sys.stderr)
+    try:
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, stderr=None, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"value": None, "error": f"mode timed out after {timeout_s}s"}
+    lines = [l for l in proc.stdout.decode().splitlines() if l.strip()]
+    if proc.returncode != 0 or not lines:
+        return {"value": None, "error": f"mode exited rc={proc.returncode}"}
+    try:
+        return json.loads(lines[-1])
+    except json.JSONDecodeError:
+        return {"value": None, "error": "mode printed no JSON"}
+
+
 if __name__ == "__main__":
     eval_flag = "--eval" in sys.argv
     if "--dynamic" in sys.argv:
@@ -417,32 +450,37 @@ if __name__ == "__main__":
         print(json.dumps(main_static(eval_on=eval_flag)))
     else:
         # the driver's capture command is plain `python bench.py`: run
-        # all four modes — eval-on first (the reference's default loop
-        # evaluates every frame), then the eval-off headline numbers.
-        # The dynamic eval-off line lands in BENCH_DYNAMIC.json (with the
-        # eval-on numbers as extra fields); the static eval-off line
-        # prints LAST (the driver records the final JSON line). The
-        # eval-on modes are guarded: a failure there must never cost the
-        # headline eval-off lines.
-        def _guard(fn, **kw):
-            import traceback
-            try:
-                return fn(**kw)
-            except Exception:
-                traceback.print_exc()
-                return {"value": None, "error": "eval-on mode failed"}
-
-        dyn_eval = _guard(main_dynamic, eval_on=True)
-        print(json.dumps(dyn_eval))
-        dyn_res = main_dynamic(eval_on=False)
-        print(json.dumps(dyn_res))
-        sta_eval = _guard(main_static, eval_on=True)
-        print(json.dumps(sta_eval))
-        dyn_res["eval_on_fps"] = dyn_eval["value"]
-        dyn_res["eval_csv_rows"] = dyn_eval.get("eval_csv_rows", 0)
-        dyn_res["static_eval_on_fps"] = sta_eval["value"]
-        _write_json("BENCH_DYNAMIC.json", dyn_res)
+        # all four modes, each as a TIMEOUT-BOUNDED subprocess so one
+        # wedged compile (relay bad periods stall every compile
+        # 10-20 min) cannot cost the others. Scenes are materialized
+        # here first (pure CPU) so children never pay that. Priority
+        # order: the static eval-off headline runs FIRST and its JSON
+        # line prints immediately (crash guard if the driver kills a
+        # later mode) AND again LAST — the driver records the final
+        # line. Dynamic eval-off lands in BENCH_DYNAMIC.json with the
+        # eval-on numbers as extra fields; eval-on pairs in
+        # BENCH_EVAL.json.
+        ensure_seq(dynamic=False)
+        ensure_seq(dynamic=True)
+        passthru = [f for f in sys.argv[1:] if f in ("--lag1", "--k4",
+                                                     "--verbose")]
+        MODE_TIMEOUT = 45 * 60
+        sta_res = _run_mode(["--static"] + passthru, MODE_TIMEOUT)
+        print(json.dumps(sta_res), flush=True)
+        dyn_res = _run_mode(["--dynamic"] + passthru, MODE_TIMEOUT)
+        print(json.dumps(dyn_res), flush=True)
+        dyn_eval = _run_mode(["--dynamic", "--eval"] + passthru,
+                             MODE_TIMEOUT)
+        print(json.dumps(dyn_eval), flush=True)
+        sta_eval = _run_mode(["--static", "--eval"] + passthru,
+                             MODE_TIMEOUT)
+        print(json.dumps(sta_eval), flush=True)
+        if dyn_res.get("value") is not None:
+            dyn_res["eval_on_fps"] = dyn_eval.get("value")
+            dyn_res["eval_csv_rows"] = dyn_eval.get("eval_csv_rows", 0)
+            dyn_res["static_eval_on_fps"] = sta_eval.get("value")
+            _write_json("BENCH_DYNAMIC.json", dyn_res)
         _write_json("BENCH_EVAL.json",
                     {"dynamic_eval_on": dyn_eval,
                      "static_eval_on": sta_eval})
-        print(json.dumps(main_static(eval_on=False)))
+        print(json.dumps(sta_res), flush=True)
