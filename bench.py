@@ -475,12 +475,29 @@ if __name__ == "__main__":
         sta_eval = _run_mode(["--static", "--eval"] + passthru,
                              MODE_TIMEOUT)
         print(json.dumps(sta_eval), flush=True)
+        ts = int(time.time())
         if dyn_res.get("value") is not None:
             dyn_res["eval_on_fps"] = dyn_eval.get("value")
             dyn_res["eval_csv_rows"] = dyn_eval.get("eval_csv_rows", 0)
             dyn_res["static_eval_on_fps"] = sta_eval.get("value")
+            dyn_res["host_ts"] = ts
             _write_json("BENCH_DYNAMIC.json", dyn_res)
+        else:
+            # a failed mode must not leave a stale artifact that reads
+            # as fresh: overwrite with the error, keeping the prior
+            # numbers visibly labeled as previous
+            prev = None
+            try:
+                with open(os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DYNAMIC.json")) as f:
+                    prev = json.load(f)
+            except Exception:
+                pass
+            _write_json("BENCH_DYNAMIC.json",
+                        {**dyn_res, "host_ts": ts, "previous": prev})
         _write_json("BENCH_EVAL.json",
                     {"dynamic_eval_on": dyn_eval,
-                     "static_eval_on": sta_eval})
+                     "static_eval_on": sta_eval,
+                     "host_ts": ts})
         print(json.dumps(sta_res), flush=True)
