@@ -442,6 +442,34 @@ def _run_mode(flags, timeout_s):
         return {"value": None, "error": "mode printed no JSON"}
 
 
+def _eval_mode(flags, timeout_s, eval_off_fps):
+    """Run an eval-on mode, retrying ONCE if the result is missing or
+    implausibly slow vs its eval-off counterpart.
+
+    Relay bad periods stall every fresh compile 10-20 min (CLAUDE.md
+    trap 9) and can wedge a whole child run — the 0.587-FPS dynamic
+    eval-on artifact of round 5 was such a run (37 CSV rows written,
+    ~1.7 s/frame: a complete run with every executable stalled). The
+    documented mitigation is a fresh retry; eval-on adds device work
+    but never costs > ~2x eval-off, so < 50% of the eval-off figure
+    indicts the run, not the code."""
+    res = _run_mode(flags, timeout_s)
+    floor = 0.5 * eval_off_fps if eval_off_fps else None
+    suspect = res.get("value") is None or (
+        floor is not None and res["value"] < floor)
+    if suspect:
+        print(f"[bench] eval-on result {res.get('value')} looks like a "
+              f"relay stall (eval-off {eval_off_fps}); retrying once",
+              file=sys.stderr)
+        retry = _run_mode(flags, timeout_s)
+        if retry.get("value") is not None and (
+                res.get("value") is None or retry["value"] > res["value"]):
+            retry["first_attempt_fps"] = res.get("value")
+            retry["retried"] = True
+            res = retry
+    return res
+
+
 if __name__ == "__main__":
     eval_flag = "--eval" in sys.argv
     if "--dynamic" in sys.argv:
@@ -469,11 +497,11 @@ if __name__ == "__main__":
         print(json.dumps(sta_res), flush=True)
         dyn_res = _run_mode(["--dynamic"] + passthru, MODE_TIMEOUT)
         print(json.dumps(dyn_res), flush=True)
-        dyn_eval = _run_mode(["--dynamic", "--eval"] + passthru,
-                             MODE_TIMEOUT)
+        dyn_eval = _eval_mode(["--dynamic", "--eval"] + passthru,
+                              MODE_TIMEOUT, dyn_res.get("value"))
         print(json.dumps(dyn_eval), flush=True)
-        sta_eval = _run_mode(["--static", "--eval"] + passthru,
-                             MODE_TIMEOUT)
+        sta_eval = _eval_mode(["--static", "--eval"] + passthru,
+                              MODE_TIMEOUT, sta_res.get("value"))
         print(json.dumps(sta_eval), flush=True)
         ts = int(time.time())
         if dyn_res.get("value") is not None:

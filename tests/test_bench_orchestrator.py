@@ -60,6 +60,61 @@ def test_run_mode_timeout_kills_child(tmp_path, monkeypatch):
     assert res["value"] is None and "timed out" in res["error"]
 
 
+def _patch_run_mode(bench, results):
+    """Replace _run_mode with a scripted sequence; returns the call log."""
+    calls = []
+    seq = iter(results)
+
+    def fake(flags, timeout_s):
+        calls.append(list(flags))
+        return next(seq)
+
+    bench._run_mode = fake
+    return calls
+
+
+def test_eval_mode_no_retry_when_plausible(monkeypatch):
+    bench = _load_bench()
+    calls = _patch_run_mode(bench, [{"value": 9.0}])
+    res = bench._eval_mode(["--static", "--eval"], 10, eval_off_fps=10.9)
+    assert res == {"value": 9.0} and len(calls) == 1
+
+
+def test_eval_mode_retries_relay_stall(monkeypatch):
+    # the round-5 artifact case: eval-on 0.587 vs eval-off 9.68
+    bench = _load_bench()
+    calls = _patch_run_mode(bench, [{"value": 0.587}, {"value": 9.1}])
+    res = bench._eval_mode(["--dynamic", "--eval"], 10, eval_off_fps=9.68)
+    assert len(calls) == 2
+    assert res["value"] == 9.1 and res["retried"] is True
+    assert res["first_attempt_fps"] == 0.587
+
+
+def test_eval_mode_retries_on_failure(monkeypatch):
+    bench = _load_bench()
+    calls = _patch_run_mode(bench,
+                            [{"value": None, "error": "timed out"},
+                             {"value": 8.5}])
+    res = bench._eval_mode(["--static", "--eval"], 10, eval_off_fps=10.9)
+    assert len(calls) == 2 and res["value"] == 8.5
+
+
+def test_eval_mode_keeps_better_first_attempt(monkeypatch):
+    # both attempts slow (a persistent bad period): keep the better one
+    bench = _load_bench()
+    calls = _patch_run_mode(bench, [{"value": 4.0}, {"value": 3.0}])
+    res = bench._eval_mode(["--dynamic", "--eval"], 10, eval_off_fps=9.68)
+    assert len(calls) == 2 and res == {"value": 4.0}
+
+
+def test_eval_mode_no_floor_without_eval_off(monkeypatch):
+    # eval-off itself failed (None): any successful eval-on value stands
+    bench = _load_bench()
+    calls = _patch_run_mode(bench, [{"value": 1.2}])
+    res = bench._eval_mode(["--dynamic", "--eval"], 10, eval_off_fps=None)
+    assert res == {"value": 1.2} and len(calls) == 1
+
+
 def test_run_mode_non_json_output(tmp_path, monkeypatch):
     bench = _load_bench()
     stub = _stub(tmp_path, """
